@@ -1,0 +1,150 @@
+"""Typed configuration for the NPS waveform pipeline.
+
+Replaces the reference's hardcoded compile-time constants that users were
+expected to edit and recompile (ref TEST_2.C:51-73, README.md:165-171) with a
+single frozen dataclass, plus framework-level knobs (dtypes, fit-lane
+capacity, LM iteration budgets, mesh layout) that have no reference
+equivalent because the reference is a single-process CPU macro.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class NPSConfig:
+    # ---- detector geometry (ref TEST_2.C:51-60) ----
+    ntime: int = 110          # samples per fADC channel
+    ncol: int = 30            # calorimeter columns
+    nlin: int = 36            # calorimeter rows
+    nslots: int = 1104        # max fADC slots (incl. 2 scintillator slots)
+    maxwfpulses: int = 12     # max pulses per block the search may return
+    scint_slot_a: int = 2000  # raw slot ids remapped to 1080/1081 (ref :862-865)
+    scint_slot_b: int = 2001
+
+    # ---- matched filter (ref TEST_2.C:64-69) ----
+    mfleft: int = 5
+    mfright: int = 5
+    mfstart: int = 10         # peak-search window [mfstart, mfend] in 4ns bins
+    mfend: int = 100
+
+    # ---- thresholds (ref TEST_2.C:70-73) ----
+    specthres: float = 0.02   # TSpectrum relative threshold
+    mfthres: float = 1.5      # matched-filter peak amplitude threshold (mV)
+    trig_thres: float = 10.0  # 3x3 cluster-sum trigger threshold (mV)
+    coinc_width: int = 20     # coincidence window half-width (4ns bins)
+
+    # ---- peak search (TSpectrum::Search semantics, ref TEST_2.C:187-188) ----
+    spec_sigma: float = 2.0       # Search() sigma
+    spec_decon_iterations: int = 3  # TSpectrum fgIterations default
+    spec_aver_window: int = 3       # TSpectrum fgAverageWindow default (Markov)
+
+    # ---- timing (ref TEST_2.C:354, 498-530) ----
+    dt: float = 4.0           # ns per sample bin
+    calodist: float = 9.5     # run-dependent; see geometry_for_run()
+    timemean_base: float = 170.0  # timemean2 = 170 + timerefacc*dt (ref :526-530)
+
+    # ---- fit configuration (ref TEST_2.C:656-704, 761-773) ----
+    fit_lo_bin: int = 10      # fit bins [fit_lo_bin, fit_hi_bin) (ref :681)
+    fit_hi_bin: int = 100
+    ped_nsamples: int = 20    # pedestal seed = mean of first 20 samples (ref :672-676)
+    ped_limit: float = 100.0  # pedestal bounds +-100 (ref :670)
+    time_limit: float = 4.0   # time bounds seed +- 4 bins (ref :664)
+    amp_lo_frac: float = 0.2  # amplitude bounds [0.2, 5] * seed (ref :665)
+    amp_hi_frac: float = 5.0
+    spline_gate_lo: float = 1.0    # model support gate 1 < dt0 < ntime-1 (ref :629)
+    err_scale: float = 4.096       # error model sqrt(|y|*4.096/2)/4.096 (ref :949)
+    err_floor_input: float = 1.0   # e < 1 -> recompute with y=1 (ref :951-954)
+    amp_h12_thres: float = 20.0    # h1time/h2time fill threshold (ref :991)
+
+    # ---- LM solver budgets (replaces Migrad strategy 1/1000 -> 2/5000,
+    #      ref TEST_2.C:701-703, 765-767) ----
+    lm_max_iter_stage1: int = 50
+    lm_max_iter_stage2: int = 200
+    lm_lambda_init: float = 1e-3
+    lm_lambda_up: float = 11.0
+    lm_lambda_down: float = 9.0
+    lm_lambda_min: float = 1e-12
+    lm_lambda_max: float = 1e10
+    lm_ftol: float = 1e-9     # relative chi2 decrease convergence
+    lm_gtol: float = 1e-7     # scaled gradient-norm convergence
+
+    # ---- framework knobs (no reference equivalent) ----
+    compute_dtype: str = "float32"   # on-device compute dtype
+    solver_dtype: str = "float32"    # LM linear-algebra dtype
+    fit_capacity: int = 0            # max fitted lanes per batch; 0 = all lanes
+    use_pallas: bool = False         # enable Pallas kernels on TPU
+    interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
+
+    # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----
+    mesh_data_axis: str = "data"     # event-batch sharding axis
+    mesh_block_axis: str = "block"   # calorimeter-row sharding axis (halo exchange)
+
+    # ------------------------------------------------------------------
+    @property
+    def nblocks(self) -> int:
+        return self.ncol * self.nlin
+
+    @property
+    def mfwidth(self) -> int:
+        return self.mfleft + self.mfright + 1
+
+    @property
+    def nfitbins(self) -> int:
+        return self.fit_hi_bin - self.fit_lo_bin
+
+    @property
+    def max_params(self) -> int:
+        # pedestal + (time, amp) per pulse (ref TEST_2.C:361 "nbparameters")
+        return 1 + 2 * self.maxwfpulses
+
+    @property
+    def ndata_max(self) -> int:
+        # raw stream upper bound: nslots * (ntime + 2) (ref TEST_2.C:356)
+        return self.nslots * (self.ntime + 2)
+
+    def timerefacc(self, calodist: Optional[float] = None) -> float:
+        """Accidental-time offset from calorimeter distance (ref TEST_2.C:524)."""
+        d = self.calodist if calodist is None else calodist
+        return (d - 9.5) / (3.0e8 * 1.0e-9 * self.dt)
+
+    def err_floor(self) -> float:
+        """Error floor applied when e < 1 (ref TEST_2.C:951-954)."""
+        import math
+        return math.sqrt(abs(self.err_floor_input * self.err_scale / 2.0)) / self.err_scale
+
+    # ---- (de)serialization -------------------------------------------
+    def replace(self, **kw) -> "NPSConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "NPSConfig":
+        return cls(**json.loads(s))
+
+
+def calodist_for_run(run: int) -> float:
+    """Run-number-keyed calorimeter distance (ref TEST_2.C:498-523)."""
+    if 1571 < run < 3667:
+        return 3.5
+    if 3666 < run < 4632:
+        return 4.0
+    if 4635 < run < 4953:
+        return 6.0
+    if 4965 < run < 5344:
+        return 4.0
+    if 5354 < run < 5464:
+        return 3.0
+    if 5523 < run < 7013:
+        return 3.5
+    return 9.5
+
+
+def config_for_run(run: int, **overrides) -> NPSConfig:
+    """Config with run-dependent geometry resolved (ref TEST_2.C:498-530)."""
+    return NPSConfig(calodist=calodist_for_run(run), **overrides)

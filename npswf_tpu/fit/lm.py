@@ -1,0 +1,257 @@
+"""Batched bounded Levenberg-Marquardt solver.
+
+TPU-native replacement for the per-block ROOT::Fit::Fitter + Minuit2 Migrad
+minimization (ref TEST_2.C:691-791). All (event x block) fit lanes are solved
+simultaneously as one fixed-shape computation:
+
+- objective: binned chi^2 over bins [fit_lo_bin, fit_hi_bin) with the
+  reference's Poisson-ish error model (ref :680-688, 946-955),
+- box constraints via the Minuit-style sin transform
+  p = mid + half*sin(u) (Migrad's internal bounded-parameter mapping), so the
+  internal problem is unconstrained,
+- normal-equation LM steps with Marquardt damping and Jacobi scaling, run
+  under ``lax.while_loop`` until every active lane converges or the iteration
+  budget is spent,
+- two-stage retry escalation: lanes that fail stage 1 are re-solved from the
+  original seeds with a bigger budget (Migrad strategy 1/1000 -> 2/5000,
+  ref :701-703, 765-767); still-failed lanes keep their seed parameters and
+  are flagged (chi2 = -100 fallback applied by the engine, ref :774-791).
+
+Parameters are laid out as the reference's TF1 vector:
+p = [pedestal, t_0, A_0, t_1, A_1, ...], padded to 1 + 2*maxwfpulses with
+masked slots (ref TEST_2.C:361, 656-677).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.models.waveform import WaveformModel, get_model
+
+
+class FitInputs(NamedTuple):
+    y: jnp.ndarray            # [N, K] data in the fit window
+    sigma: jnp.ndarray        # [N, K] errors (err model applied upstream)
+    coeffs: jnp.ndarray       # [N, S, 4] per-lane spline coefficients
+    x0: jnp.ndarray           # [N] spline first knot
+    t_seed: jnp.ndarray       # [N, P] seed times (relative to timeref)
+    a_seed: jnp.ndarray       # [N, P] seed amplitudes
+    ped_seed: jnp.ndarray     # [N] pedestal seed (mean of first 20 samples)
+    pulse_mask: jnp.ndarray   # [N, P] bool — pulse slot active
+    active: jnp.ndarray       # [N] bool — lane has >=1 pulse and passed gates
+
+
+class FitResult(NamedTuple):
+    params: jnp.ndarray       # [N, M] fitted physical parameters
+    chi2: jnp.ndarray         # [N] total chi^2 (not yet / ndf)
+    chi2_ndf: jnp.ndarray     # [N] chi^2 / ndf
+    converged: jnp.ndarray    # [N] bool — fit succeeded (possibly on retry)
+    converged_stage1: jnp.ndarray  # [N] bool — succeeded without retry
+    n_iter: jnp.ndarray       # [N] iterations consumed
+    edm: jnp.ndarray          # [N] final expected-distance-to-minimum proxy
+
+
+# ----------------------------------------------------------------------
+# Bound transform (Minuit-style)
+# ----------------------------------------------------------------------
+def _bounds(cfg: NPSConfig, inp: FitInputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(lo, hi) [N, M] in the reference's layout (ref TEST_2.C:664-670)."""
+    N, P = inp.t_seed.shape
+    M = 1 + 2 * P
+    dt_lim = jnp.asarray(cfg.time_limit, inp.y.dtype)
+    lo = jnp.zeros((N, M), inp.y.dtype)
+    hi = jnp.zeros((N, M), inp.y.dtype)
+    lo = lo.at[:, 0].set(-cfg.ped_limit)
+    hi = hi.at[:, 0].set(cfg.ped_limit)
+    lo = lo.at[:, 1::2].set(inp.t_seed - dt_lim)
+    hi = hi.at[:, 1::2].set(inp.t_seed + dt_lim)
+    a_lo = inp.a_seed * cfg.amp_lo_frac
+    a_hi = inp.a_seed * cfg.amp_hi_frac
+    # negative-amplitude seeds cannot occur (|raw - min|), but keep lo<=hi
+    lo = lo.at[:, 2::2].set(jnp.minimum(a_lo, a_hi))
+    hi = hi.at[:, 2::2].set(jnp.maximum(a_lo, a_hi))
+    return lo, hi
+
+
+def _seed_params(cfg: NPSConfig, inp: FitInputs) -> jnp.ndarray:
+    N, P = inp.t_seed.shape
+    M = 1 + 2 * P
+    p = jnp.zeros((N, M), inp.y.dtype)
+    p = p.at[:, 0].set(jnp.clip(inp.ped_seed, -cfg.ped_limit, cfg.ped_limit))
+    p = p.at[:, 1::2].set(inp.t_seed)
+    p = p.at[:, 2::2].set(inp.a_seed)
+    return p
+
+
+def _to_internal(p, lo, hi, param_mask):
+    mid = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    safe_half = jnp.where(half > 0, half, 1.0)
+    s = jnp.clip((p - mid) / safe_half, -1.0, 1.0)
+    u = jnp.arcsin(s)
+    return jnp.where(param_mask & (half > 0), u, 0.0)
+
+
+def _to_physical(u, lo, hi, p_seed, param_mask):
+    mid = 0.5 * (lo + hi)
+    half = 0.5 * (hi - lo)
+    p = mid + half * jnp.sin(u)
+    return jnp.where(param_mask & (half > 0), p, p_seed)
+
+
+def _dp_du(u, lo, hi, param_mask):
+    half = 0.5 * (hi - lo)
+    d = half * jnp.cos(u)
+    return jnp.where(param_mask & (half > 0), d, 0.0)
+
+
+# ----------------------------------------------------------------------
+# Core LM loop
+# ----------------------------------------------------------------------
+def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
+             u0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+             p_seed: jnp.ndarray, param_mask: jnp.ndarray,
+             active: jnp.ndarray, max_iter: int, lam0: float):
+    """Run LM from internal params u0 on ``active`` lanes.
+
+    Returns (u, chi2, converged, n_iter, edm).
+    """
+    dtype = inp.y.dtype
+    N, M = u0.shape
+    xgrid = jnp.arange(cfg.fit_lo_bin, cfg.fit_hi_bin, dtype=dtype)
+    w = 1.0 / inp.sigma                                   # [N, K]
+    aux = {"coeffs": inp.coeffs, "x0": inp.x0}
+    eye = jnp.eye(M, dtype=dtype)
+
+    def chi2_at(u):
+        p = _to_physical(u, lo, hi, p_seed, param_mask)
+        f, _ = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
+        r = (inp.y - f) * w
+        return jnp.sum(r * r, axis=1), r
+
+    def system(u):
+        p = _to_physical(u, lo, hi, p_seed, param_mask)
+        f, Jp = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
+        r = (inp.y - f) * w                               # [N, K]
+        Ju = Jp * _dp_du(u, lo, hi, param_mask)[:, None, :] * w[:, :, None]
+        A = jnp.einsum("nki,nkj->nij", Ju, Ju,
+                       preferred_element_type=dtype)      # [N, M, M]
+        g = jnp.einsum("nki,nk->ni", Ju, r,
+                       preferred_element_type=dtype)      # [N, M]
+        chi2 = jnp.sum(r * r, axis=1)
+        return A, g, chi2
+
+    def solve_damped(A, g, lam):
+        diag = jnp.diagonal(A, axis1=1, axis2=2)
+        scale = jnp.where(diag > 1e-30, jnp.sqrt(diag), 1.0)   # Jacobi precond
+        As = A / (scale[:, :, None] * scale[:, None, :])
+        gs = g / scale
+        # dead columns (fixed/masked params) -> identity rows
+        dead = diag <= 1e-30
+        As = jnp.where(dead[:, :, None] | dead[:, None, :], 0.0, As)
+        # Marquardt damping on the scaled system: diagonal becomes (1 + lam)
+        damped = As * (1.0 - eye[None]) + eye[None] * (1.0 + lam[:, None, None])
+        gs = jnp.where(dead, 0.0, gs)
+        delta_s = jnp.linalg.solve(damped, gs[:, :, None])[:, :, 0]
+        delta = delta_s / scale
+        return jnp.where(dead, 0.0, delta)
+
+    eps = float(jnp.finfo(dtype).eps)
+    ftol_eff = max(cfg.lm_ftol, 100.0 * eps)
+    gtol_eff = max(cfg.lm_gtol, 100.0 * eps)
+
+    chi2_0, _ = chi2_at(u0)
+    state = dict(
+        u=u0,
+        chi2=jnp.where(active, chi2_0, 0.0),
+        lam=jnp.full((N,), lam0, dtype),
+        done=~active,
+        conv=jnp.zeros((N,), bool),
+        n_iter=jnp.zeros((N,), jnp.int32),
+        edm=jnp.full((N,), jnp.inf, dtype),
+        it=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(s):
+        return (s["it"] < max_iter) & ~jnp.all(s["done"])
+
+    def body(s):
+        A, g, chi2 = system(s["u"])
+        # MINPACK-style scaled-gradient criterion, independent of lambda:
+        # max_j |g_j| / (||J_j|| * ||r||) <= gtol  => at a (local) minimum.
+        diag = jnp.diagonal(A, axis1=1, axis2=2)
+        dead = diag <= 1e-30
+        denom = jnp.sqrt(jnp.where(dead, 1.0, diag)) * \
+            jnp.sqrt(jnp.maximum(chi2, eps))[:, None]
+        gcrit = jnp.max(jnp.where(dead, 0.0, jnp.abs(g)) / denom, axis=1)
+        conv_g = gcrit < gtol_eff
+
+        delta = solve_damped(A, g, s["lam"])
+        u_try = s["u"] + delta
+        chi2_try, _ = chi2_at(u_try)
+        good = jnp.isfinite(chi2_try) & (chi2_try < s["chi2"])
+        step = good & ~s["done"] & ~conv_g
+        u_new = jnp.where(step[:, None], u_try, s["u"])
+        chi2_new = jnp.where(step, chi2_try, s["chi2"])
+        lam_new = jnp.where(step, s["lam"] / cfg.lm_lambda_down,
+                            s["lam"] * cfg.lm_lambda_up)
+        lam_new = jnp.clip(lam_new, cfg.lm_lambda_min, cfg.lm_lambda_max)
+        rel_impr = (s["chi2"] - chi2_new) / jnp.maximum(s["chi2"], 1.0)
+        conv_f = step & (rel_impr < ftol_eff)
+        conv = ~s["done"] & (conv_g | conv_f)
+        done_new = s["done"] | conv
+        n_iter = jnp.where(s["done"], s["n_iter"], s["n_iter"] + 1)
+        return dict(u=u_new, chi2=chi2_new,
+                    lam=jnp.where(s["done"], s["lam"], lam_new),
+                    done=done_new, conv=s["conv"] | conv, n_iter=n_iter,
+                    edm=jnp.where(s["done"], s["edm"], gcrit),
+                    it=s["it"] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    converged = out["conv"] & active
+    return out["u"], out["chi2"], converged, out["n_iter"], out["edm"]
+
+
+# ----------------------------------------------------------------------
+# Public entry: two-stage escalated fit
+# ----------------------------------------------------------------------
+def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
+                  model_name: str = "spline_ref") -> FitResult:
+    model = get_model(model_name)
+    N, P = inp.t_seed.shape
+    M = 1 + 2 * P
+    dtype = inp.y.dtype
+    lo, hi = _bounds(cfg, inp)
+    p_seed = _seed_params(cfg, inp)
+    pm = jnp.concatenate(
+        [jnp.ones((N, 1), bool),
+         jnp.repeat(inp.pulse_mask, 2, axis=1)], axis=1)   # [N, M] param mask
+    u0 = _to_internal(p_seed, lo, hi, pm)
+
+    u1, chi2_1, conv1, it1, edm1 = lm_solve(
+        cfg, model, inp, u0, lo, hi, p_seed, pm, inp.active,
+        cfg.lm_max_iter_stage1, cfg.lm_lambda_init)
+
+    # stage 2: restart failed lanes from the seeds with a bigger budget
+    # (Migrad strategy escalation, ref TEST_2.C:765-767)
+    failed1 = inp.active & ~conv1
+    u2, chi2_2, conv2, it2, edm2 = lm_solve(
+        cfg, model, inp, u0, lo, hi, p_seed, pm, failed1,
+        cfg.lm_max_iter_stage2, cfg.lm_lambda_init * 10.0)
+
+    use2 = failed1 & conv2
+    u = jnp.where(use2[:, None], u2, u1)
+    chi2 = jnp.where(use2, chi2_2, chi2_1)
+    converged = conv1 | conv2
+    params = _to_physical(u, lo, hi, p_seed, pm)
+    # still-failed lanes report their seed parameters (ref :774-791 fallback)
+    params = jnp.where((inp.active & ~converged)[:, None], p_seed, params)
+    nfree = 1 + 2 * jnp.sum(inp.pulse_mask, axis=1)
+    ndf = jnp.maximum(inp.y.shape[1] - nfree, 1).astype(dtype)
+    return FitResult(params=params, chi2=chi2, chi2_ndf=chi2 / ndf,
+                     converged=converged, converged_stage1=conv1,
+                     n_iter=it1 + it2,
+                     edm=jnp.where(use2, edm2, edm1))

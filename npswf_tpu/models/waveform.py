@@ -1,0 +1,83 @@
+"""Waveform model family.
+
+The reference hardcodes a single model inside its fit lambda
+(ref TEST_2.C:621-635):
+
+    f(x; p) = p0 + sum_n A_n * ref(x - t_n),   contribute iff 1 < x - t_n < 109
+
+with ref() the block's cubic-spline-interpolated reference waveform. Here the
+model is a pluggable family: each model provides batched evaluation and an
+analytic Jacobian with respect to the physical parameter vector
+``p = [ped, t_0, A_0, t_1, A_1, ...]`` (the reference's parameter layout,
+ref TEST_2.C:660-665), so alternative pulse shapes can reuse the same LM
+solver. Time parameters are relative to the block's reference time
+(ref :662: seed = wftime - timeref).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.ops.spline import spline_eval_grad
+
+
+class WaveformModel:
+    """Protocol: batched model evaluation + analytic Jacobian."""
+
+    name: str = "base"
+
+    def eval_and_jac(self, cfg: NPSConfig, params: jnp.ndarray,
+                     aux: Dict[str, jnp.ndarray], xgrid: jnp.ndarray,
+                     pulse_mask: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """params [N, M] -> (f [N, K], J [N, K, M])."""
+        raise NotImplementedError
+
+
+class SplineRefModel(WaveformModel):
+    """Pedestal + sum of spline-interpolated reference pulses (the reference
+    model, TEST_2.C:621-635). ``aux`` carries per-lane spline coefficient
+    tensors: ``coeffs`` [N, S, 4] and ``x0`` [N]."""
+
+    name = "spline_ref"
+
+    def eval_and_jac(self, cfg, params, aux, xgrid, pulse_mask):
+        coeffs, x0 = aux["coeffs"], aux["x0"]
+        N, M = params.shape
+        P = (M - 1) // 2
+        K = xgrid.shape[0]
+        ped = params[:, 0]
+        tpar = params[:, 1::2]                          # [N, P]
+        apar = params[:, 2::2]                          # [N, P]
+        # arg[n, p, k] = x_k - t_{n,p}
+        arg = xgrid[None, None, :] - tpar[:, :, None]   # [N, P, K]
+        val, dval = spline_eval_grad(cfg, coeffs, x0, arg.reshape(N, P * K))
+        val = val.reshape(N, P, K)
+        dval = dval.reshape(N, P, K)
+        act = pulse_mask[:, :, None].astype(params.dtype)
+        f = ped[:, None] + jnp.sum(act * apar[:, :, None] * val, axis=1)  # [N, K]
+        J = jnp.zeros((N, K, M), params.dtype)
+        J = J.at[:, :, 0].set(1.0)
+        # d f / d t_p = -A_p * ref'(x - t_p); d f / d A_p = ref(x - t_p)
+        Jt = (-act * apar[:, :, None] * dval).transpose(0, 2, 1)  # [N, K, P]
+        Ja = (act * val).transpose(0, 2, 1)
+        J = J.at[:, :, 1::2].set(Jt)
+        J = J.at[:, :, 2::2].set(Ja)
+        return f, J
+
+
+_REGISTRY: Dict[str, WaveformModel] = {}
+
+
+def register_model(model: WaveformModel) -> WaveformModel:
+    _REGISTRY[model.name] = model
+    return model
+
+
+def get_model(name: str) -> WaveformModel:
+    return _REGISTRY[name]
+
+
+register_model(SplineRefModel())

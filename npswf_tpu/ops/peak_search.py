@@ -1,0 +1,238 @@
+"""Vectorized Markov-smoothed peak search (TSpectrum::Search parity).
+
+TPU-native replacement for the mutex-serialized ``TSpectrum::Search`` call at
+ref TEST_2.C:186-188 — the one global serialization point in the reference.
+Here the search runs as a fixed-shape batched computation over all
+(event x block) lanes at once.
+
+Algorithm (SearchHighRes semantics for sigma=2, "nobackground,nodraw",
+threshold=0.02, deconIterations=3, markov on, averWindow=3):
+
+1. extend the T-bin spectrum by shift = int(7*sigma+0.5) bins each side
+   (left: straight-line extrapolation of the first int(2*sigma+0.5) samples
+   with non-positive slope, clamped at 0; right: constant),
+2. Markov smoothing: w[i+1] = w[i] * sp_i/sm_i with transition weights
+   exp((y_j - y_i)/sqrt(y_j + y_i)) over an averWindow neighborhood, then
+   rescale to the original area. Computed here in log space with
+   max-subtraction (exactly scale-invariant) so fp32 cannot overflow,
+3. Gold deconvolution against an integer-quantized Gaussian response
+   (three multiplicative iterations with the reference's stale-value
+   buffering), circular shift by the response maximum,
+4. accept local maxima above 0.02 * max(decon) whose pre-smoothing value
+   also exceeds 0.02 * max(source); 3-bin centroid position,
+5. top-``max_peaks`` by source amplitude, ties by detection order
+   (= TSpectrum's insertion sort).
+
+``find_pulses`` wraps the search with the matched filter and the reference's
+acceptance gates (ref TEST_2.C:192-207).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.ops.matched_filter import matched_filter
+
+
+@functools.lru_cache(maxsize=8)
+def _static_response(sigma: float, size_ext: int):
+    """Quantized Gaussian response, its area/extent/argmax and autocorrelation."""
+    resp = np.zeros(size_ext)
+    area = 0.0
+    lh_gold = -1
+    posit = 0
+    mx = 0.0
+    for i in range(size_ext):
+        lda = (i - 3.0 * sigma) ** 2 / (2.0 * sigma * sigma)
+        q = float(int(1000.0 * math.exp(-lda)))
+        if q != 0.0:
+            lh_gold = i + 1
+        resp[i] = q
+        area += q
+        if q > mx:
+            mx = q
+            posit = i
+    L = lh_gold - 1
+    bvec = np.zeros(2 * L + 1)
+    for lag in range(-L, L + 1):
+        jmin = 0 if lag >= 0 else -lag
+        jmax = min(L, L - lag)
+        bvec[lag + L] = sum(resp[j] * resp[lag + j] for j in range(jmin, jmax + 1))
+    return resp[:lh_gold], area, lh_gold, posit, bvec
+
+
+def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched peak search over ``src`` [N, T].
+
+    Returns (pos_x [N,P], pos_y [N,P], valid [N,P]) with P = cfg.maxwfpulses,
+    ordered by descending source amplitude. pos_x follows the Search() bin
+    convention (k + 0.5); invalid slots hold zeros.
+    """
+    dtype = src.dtype
+    N, ssize = src.shape
+    sigma = cfg.spec_sigma
+    P = cfg.maxwfpulses
+    shift = int(7.0 * sigma + 0.5)
+    size_ext = ssize + 2 * shift
+    resp_np, area, lh_gold, posit, bvec_np = _static_response(sigma, size_ext)
+    L = lh_gold - 1
+    resp = jnp.asarray(resp_np, dtype)
+    bvec = jnp.asarray(bvec_np, dtype)
+
+    # ---- 1. extension -------------------------------------------------
+    kfit = int(2.0 * sigma + 0.5)
+    if kfit >= 2:
+        i_arr = np.arange(kfit, dtype=np.float64)
+        m0, m1, m2 = float(kfit), i_arr.sum(), (i_arr ** 2).sum()
+        det = m0 * m2 - m1 * m1
+        l0 = jnp.sum(src[:, :kfit], axis=1)
+        l1 = jnp.sum(src[:, :kfit] * jnp.asarray(i_arr, dtype), axis=1)
+        l1low = jnp.where(det != 0.0, (-l0 * m1 + l1 * m0) / det, 0.0)
+        l1low = jnp.minimum(l1low, 0.0)
+    else:
+        l1low = jnp.zeros((N,), dtype)
+    left_off = jnp.asarray(np.arange(shift) - shift, dtype)          # [shift]
+    left = jnp.maximum(src[:, :1] + l1low[:, None] * left_off, 0.0)  # [N, shift]
+    right = jnp.maximum(src[:, -1:], 0.0) * jnp.ones((1, shift), dtype)
+    ext = jnp.concatenate([left, src, right], axis=1)                # [N, size_ext]
+    ext_orig = ext
+
+    # ---- 2. Markov smoothing (log-space, scale-invariant) -------------
+    maxch = jnp.max(ext, axis=1, keepdims=True)                      # [N, 1]
+    plocha = jnp.sum(ext, axis=1, keepdims=True)
+    safe_maxch = jnp.where(maxch > 0, maxch, 1.0)
+    y = ext / safe_maxch                                             # [N, size_ext]
+    nip = y[:, :-1]                                                  # [N, size_ext-1]
+    nim = y[:, 1:]
+    sp = jnp.zeros_like(nip)
+    sm = jnp.zeros_like(nip)
+    xmax = size_ext - 1
+    for l in range(1, cfg.spec_aver_window + 1):
+        idx_f = np.minimum(np.arange(xmax) + l, xmax)
+        a_f = y[:, idx_f]
+        denom_f = jnp.where(a_f + nip <= 0.0, 1.0, jnp.sqrt(a_f + nip))
+        sp = sp + jnp.exp((a_f - nip) / denom_f)
+        idx_b = np.maximum(np.arange(xmax) - l + 1, 0)
+        a_b = y[:, idx_b]
+        denom_b = jnp.where(a_b + nim <= 0.0, 1.0, jnp.sqrt(a_b + nim))
+        sm = sm + jnp.exp((a_b - nim) / denom_b)
+    logr = jnp.log(sp) - jnp.log(sm)
+    logw = jnp.concatenate([jnp.zeros((N, 1), dtype), jnp.cumsum(logr, axis=1)], axis=1)
+    w = jnp.exp(logw - jnp.max(logw, axis=1, keepdims=True))
+    smoothed = w / jnp.sum(w, axis=1, keepdims=True) * plocha        # [N, size_ext]
+
+    # ---- 3. Gold deconvolution ---------------------------------------
+    src_abs = jnp.abs(smoothed)
+    padded = jnp.pad(src_abs, ((0, 0), (L, 0)))
+    pvec = jnp.zeros_like(src_abs)
+    for j in range(lh_gold):
+        pvec = pvec + resp[j] * padded[:, j:j + size_ext]
+
+    def _den(x):
+        xp = jnp.pad(x, ((0, 0), (L, L)))
+        d = jnp.zeros_like(x)
+        for j in range(2 * L + 1):
+            d = d + bvec[j] * xp[:, j:j + size_ext]
+        return d
+
+    x = jnp.ones((N, size_ext), dtype)
+    prev = jnp.zeros((N, size_ext), dtype)
+    for _ in range(cfg.spec_decon_iterations):
+        den = _den(x)
+        cond = (jnp.abs(pvec) > 1e-5) & (jnp.abs(x) > 1e-5)
+        factor = jnp.where((den != 0.0) & (pvec != 0.0), pvec / jnp.where(den == 0, 1.0, den), 0.0)
+        xnew = jnp.where(cond, factor * x, prev)
+        prev = xnew
+        x = xnew
+    shifted = jnp.roll(x, posit, axis=1)
+    idx = np.arange(size_ext)
+    in_range = (idx >= shift) & (idx < ssize + shift) & (idx < size_ext - L)
+    decon = jnp.where(jnp.asarray(in_range), area * jnp.roll(shifted, -L, axis=1), 0.0)
+    # decon[i] = area * shifted[i + L] on the valid range; roll(-L) aligns it.
+    maximum_decon = jnp.max(decon, axis=1, keepdims=True)
+    maximum = jnp.max(jnp.where(jnp.asarray(in_range), ext_orig, -jnp.inf),
+                      axis=1, keepdims=True)
+
+    # ---- 4. accept + centroid ----------------------------------------
+    rel = min(1.0, 100.0 * cfg.specthres) / 100.0
+    is_lmax = jnp.zeros((N, size_ext), bool)
+    is_lmax = is_lmax.at[:, 1:-1].set(
+        (decon[:, 1:-1] > decon[:, :-2]) & (decon[:, 1:-1] > decon[:, 2:]))
+    accept = (is_lmax & jnp.asarray(in_range)
+              & (decon > rel * maximum_decon)
+              & (ext_orig > cfg.specthres * maximum)
+              & (maxch > 0))
+    dl = jnp.pad(decon, ((0, 0), (1, 1)))
+    num = ((jnp.asarray(idx - 1 - shift, dtype)) * dl[:, :-2]
+           + (jnp.asarray(idx - shift, dtype)) * dl[:, 1:-1]
+           + (jnp.asarray(idx + 1 - shift, dtype)) * dl[:, 2:])
+    den3 = dl[:, :-2] + dl[:, 1:-1] + dl[:, 2:]
+    a = num / jnp.where(den3 == 0, 1.0, den3)
+    a = jnp.clip(a, 0.0, float(ssize - 1))
+
+    # ---- 5. top-P by source amplitude --------------------------------
+    a_int = jnp.floor(a).astype(jnp.int32)
+    key = jnp.take_along_axis(src, jnp.clip(a_int, 0, ssize - 1), axis=1)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    keys_masked = jnp.where(accept, key, neg_inf)
+    top_vals, top_idx = jax.lax.top_k(keys_masked, P)                 # [N, P]
+    valid = top_vals > neg_inf
+    a_sel = jnp.take_along_axis(a, top_idx, axis=1)
+    k_sel = jnp.floor(a_sel + 0.5)
+    pos_x = jnp.where(valid, k_sel + 0.5, 0.0)
+    pos_y = jnp.where(
+        valid,
+        jnp.take_along_axis(src, jnp.clip(k_sel.astype(jnp.int32), 0, ssize - 1), axis=1),
+        0.0)
+    return pos_x, pos_y, valid
+
+
+class PulseSearchResult(NamedTuple):
+    npulse: jnp.ndarray   # [N] int32 — accepted pulse count
+    times: jnp.ndarray    # [N, P] — xpos in sample units (bin - 2 shift applied)
+    amps: jnp.ndarray     # [N, P] — |raw[round(xpos)] - minsignal| seed amplitude
+    valid: jnp.ndarray    # [N, P] bool — slot validity (compacted to the front)
+    mf: jnp.ndarray       # [N, T] — matched-filter output (diagnostics)
+
+
+def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
+                kern_rev: jnp.ndarray, present: jnp.ndarray) -> PulseSearchResult:
+    """FindPulsesMF parity over flat lanes.
+
+    Args:
+      signal:    [N, T] waveforms (lane = event x block).
+      minsignal: [N] per-lane baseline.
+      kern_rev:  [N, W] per-lane reversed normalized kernel.
+      present:   [N] bool — pres && preswf gate (ref :139-143, 944).
+    """
+    T = cfg.ntime
+    mf = matched_filter(cfg, signal[:, None, :], minsignal[:, None],
+                        kern_rev[:, None, :])[:, 0, :]
+    # The reference stores the filter into a float32-binned TH1F (ref :173-179);
+    # quantize identically before the search.
+    mf_search = mf.astype(jnp.float32).astype(mf.dtype)
+    pos_x, pos_y, valid = tspectrum_search(cfg, mf_search)
+    xpos = pos_x - 2.0                                   # -2 bin shift (ref :194)
+    gate = (valid
+            & (xpos > max(cfg.mfstart, 0))
+            & (xpos < min(cfg.mfend, T - 1))
+            & (pos_y > cfg.mfthres)
+            & present[:, None])
+    ti = jnp.clip(jnp.floor(xpos + 0.5).astype(jnp.int32), 0, T - 1)
+    raw = jnp.take_along_axis(signal, ti, axis=1)
+    amp = jnp.abs(raw - minsignal[:, None])
+    # stable compaction: accepted slots first, original (amplitude-desc) order
+    order = jnp.argsort(~gate, axis=1, stable=True)
+    times_c = jnp.take_along_axis(jnp.where(gate, xpos, 0.0), order, axis=1)
+    amps_c = jnp.take_along_axis(jnp.where(gate, amp, 0.0), order, axis=1)
+    valid_c = jnp.take_along_axis(gate, order, axis=1)
+    npulse = jnp.sum(gate, axis=1).astype(jnp.int32)
+    return PulseSearchResult(npulse=npulse, times=times_c, amps=amps_c,
+                             valid=valid_c, mf=mf)

@@ -1,0 +1,54 @@
+"""Batched natural-cubic-spline evaluation with the model support gate.
+
+TPU-native replacement for the per-fit ``ROOT::Math::Interpolator``
+construction + Eval calls (ref TEST_2.C:612-635): coefficients are
+precomputed once per block on the host (core.calibration), and evaluation is
+a segment gather + Horner step, with analytic first derivative for the fit
+Jacobian (replacing Minuit2's numerical gradients).
+
+Knots are the reference waveform's time axis, assumed uniform with unit
+spacing (asserted by the calibration loader); the model support gate
+``spline_gate_lo < dt0 < ntime-1`` (ref :629-632) zeroes contributions
+outside the pulse support.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from npswf_tpu.core.config import NPSConfig
+
+
+def spline_eval(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
+                t: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate s(t) (no gate). coeffs [..., S, 4], x0 [...], t [..., K]."""
+    nseg = coeffs.shape[-2]
+    rel = t - x0[..., None]
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
+    u = rel - idx.astype(t.dtype)
+    a = jnp.take_along_axis(coeffs[..., 0], idx, axis=-1)
+    b = jnp.take_along_axis(coeffs[..., 1], idx, axis=-1)
+    c = jnp.take_along_axis(coeffs[..., 2], idx, axis=-1)
+    d = jnp.take_along_axis(coeffs[..., 3], idx, axis=-1)
+    return ((d * u + c) * u + b) * u + a
+
+
+def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
+                     t: jnp.ndarray):
+    """(s(t), s'(t)) with the support gate applied; zero outside.
+
+    The gate matches ref TEST_2.C:629: contribute iff
+    spline_gate_lo < t < ntime - 1.
+    """
+    nseg = coeffs.shape[-2]
+    rel = t - x0[..., None]
+    idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
+    u = rel - idx.astype(t.dtype)
+    a = jnp.take_along_axis(coeffs[..., 0], idx, axis=-1)
+    b = jnp.take_along_axis(coeffs[..., 1], idx, axis=-1)
+    c = jnp.take_along_axis(coeffs[..., 2], idx, axis=-1)
+    d = jnp.take_along_axis(coeffs[..., 3], idx, axis=-1)
+    val = ((d * u + c) * u + b) * u + a
+    dval = (3.0 * d * u + 2.0 * c) * u + b
+    gate = (t > cfg.spline_gate_lo) & (t < cfg.ntime - 1)
+    zero = jnp.zeros_like(val)
+    return jnp.where(gate, val, zero), jnp.where(gate, dval, zero)

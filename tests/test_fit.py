@@ -1,0 +1,173 @@
+"""Batched LM fit: recovery, bounds, escalation, fp32 consistency."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from npswf_tpu.core.calibration import spline_eval_np
+from npswf_tpu.fit.errors import error_model
+from npswf_tpu.fit.lm import FitInputs, fit_waveforms
+from npswf_tpu.utils.synthetic import make_events
+
+
+def _build_inputs(cfg, cal, dtype=np.float64, n_lanes=64, max_pulses=1,
+                  seed=0, noise=0.4, seed_jitter=1.5):
+    """Lanes with known truth; seeds jittered within the +-4-bin bounds."""
+    rng = np.random.default_rng(seed)
+    P = cfg.maxwfpulses
+    K = cfg.nfitbins
+    blocks = rng.integers(0, cfg.nblocks, n_lanes)
+    T = cfg.ntime
+    x = np.arange(T, dtype=np.float64)
+    sig = np.zeros((n_lanes, T))
+    ped = rng.uniform(-5, 5, n_lanes)
+    npul = rng.integers(1, max_pulses + 1, n_lanes)
+    t_true = np.zeros((n_lanes, P))
+    a_true = np.zeros((n_lanes, P))
+    for i, b in enumerate(blocks):
+        sig[i] = ped[i] + noise * rng.standard_normal(T)
+        tr = cal.timeref[b]
+        for p in range(npul[i]):
+            t0 = tr + rng.uniform(-3, 3) + (0 if p == 0 else rng.uniform(-25, 25))
+            a0 = rng.uniform(40, 180)
+            arg = x - (t0 - tr)
+            gate = (arg > cfg.spline_gate_lo) & (arg < T - 1)
+            sig[i] += np.where(gate, a0 * spline_eval_np(
+                cal.spline_coeffs[b], cal.spline_x0[b], arg), 0.0)
+            t_true[i, p] = t0 - tr   # relative parametrization
+            a_true[i, p] = a0
+    y = sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin].astype(dtype)
+    sigma = np.asarray(error_model(cfg, jnp.asarray(sig)))[
+        :, cfg.fit_lo_bin:cfg.fit_hi_bin].astype(dtype)
+    pulse_mask = np.arange(P)[None, :] < npul[:, None]
+    t_seed = np.where(pulse_mask, t_true + seed_jitter *
+                      rng.uniform(-1, 1, (n_lanes, P)), 0.0)
+    a_seed = np.where(pulse_mask, a_true * rng.uniform(0.6, 1.6, (n_lanes, P)), 0.0)
+    ped_seed = sig[:, :cfg.ped_nsamples].mean(axis=1)
+    inp = FitInputs(
+        y=jnp.asarray(y),
+        sigma=jnp.asarray(sigma),
+        coeffs=jnp.asarray(cal.spline_coeffs[blocks].astype(dtype)),
+        x0=jnp.asarray(cal.spline_x0[blocks].astype(dtype)),
+        t_seed=jnp.asarray(t_seed.astype(dtype)),
+        a_seed=jnp.asarray(a_seed.astype(dtype)),
+        ped_seed=jnp.asarray(ped_seed.astype(dtype)),
+        pulse_mask=jnp.asarray(pulse_mask),
+        active=jnp.ones(n_lanes, bool))
+    return inp, t_true, a_true, ped, npul
+
+
+def test_noiseless_recovery_exact(cfg, cal):
+    """With zero noise the model matches the data exactly: the solver must
+    land on the true minimum to high precision (solver correctness, not
+    statistics)."""
+    inp, t_true, a_true, ped, npul = _build_inputs(
+        cfg, cal, n_lanes=48, seed=1, noise=0.0)
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    assert conv.mean() > 0.95, f"convergence {conv.mean()}"
+    p = np.asarray(res.params)
+    dt = np.abs(p[conv, 1] - t_true[conv, 0])
+    da = np.abs(p[conv, 2] / a_true[conv, 0] - 1.0)
+    dp = np.abs(p[conv, 0] - ped[conv])
+    assert np.quantile(dt, 0.9) < 1e-4, np.quantile(dt, 0.9)
+    assert np.quantile(da, 0.9) < 1e-4
+    assert np.quantile(dp, 0.9) < 1e-3
+    c = np.asarray(res.chi2_ndf)[conv]
+    assert np.median(c) < 1e-6
+
+
+def test_single_pulse_recovery(cfg, cal):
+    inp, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=48, seed=1)
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    assert conv.mean() > 0.95, f"convergence {conv.mean()}"
+    p = np.asarray(res.params)
+    dt = np.abs(p[conv, 1] - t_true[conv, 0])
+    da = np.abs(p[conv, 2] / a_true[conv, 0] - 1.0)
+    # statistical noise floor of the synthetic ensemble, not the parity bar
+    assert np.median(dt) < 0.05, np.median(dt)
+    assert np.quantile(dt, 0.9) < 0.15
+    assert np.median(da) < 0.05
+    dp = np.abs(p[conv, 0] - ped[conv])
+    assert np.median(dp) < 0.5
+    c = np.asarray(res.chi2_ndf)[conv]
+    assert np.median(c) < 5.0
+
+
+def test_pileup_recovery(cfg, cal):
+    inp, t_true, a_true, ped, npul = _build_inputs(
+        cfg, cal, n_lanes=48, max_pulses=3, seed=2)
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    assert conv.mean() > 0.9
+    p = np.asarray(res.params)
+    pm = np.asarray(inp.pulse_mask)
+    errs = []
+    for i in np.nonzero(conv)[0]:
+        for j in range(int(npul[i])):
+            errs.append(abs(p[i, 1 + 2 * j] - t_true[i, j]))
+    errs = np.array(errs)
+    assert np.median(errs) < 0.05, np.median(errs)
+    # masked pulse slots keep zero seeds
+    assert np.all(p[:, 1::2][~pm] == 0.0)
+
+
+def test_bounds_respected(cfg, cal):
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=32, max_pulses=2, seed=3,
+                            seed_jitter=3.5)
+    res = fit_waveforms(cfg, inp)
+    p = np.asarray(res.params)
+    pm = np.asarray(inp.pulse_mask)
+    t_seed = np.asarray(inp.t_seed)
+    a_seed = np.asarray(inp.a_seed)
+    eps = 1e-9
+    assert np.all(p[:, 0] >= -cfg.ped_limit - eps)
+    assert np.all(p[:, 0] <= cfg.ped_limit + eps)
+    t = p[:, 1::2]
+    a = p[:, 2::2]
+    assert np.all(t[pm] >= (t_seed - cfg.time_limit)[pm] - eps)
+    assert np.all(t[pm] <= (t_seed + cfg.time_limit)[pm] + eps)
+    assert np.all(a[pm] >= (a_seed * cfg.amp_lo_frac)[pm] - eps)
+    assert np.all(a[pm] <= (a_seed * cfg.amp_hi_frac)[pm] + eps)
+
+
+def test_inactive_lanes_untouched(cfg, cal):
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=16, seed=4)
+    active = np.zeros(16, bool)
+    active[:8] = True
+    inp = inp._replace(active=jnp.asarray(active))
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    assert not conv[8:].any()
+    # inactive lanes report seed parameters
+    p = np.asarray(res.params)
+    np.testing.assert_allclose(p[8:, 1::2], np.asarray(inp.t_seed)[8:], atol=1e-12)
+
+
+def test_failed_lane_seed_fallback(cfg, cal):
+    """A lane with absurd data must fail and fall back to seeds (chi2 flow
+    handled by the engine, ref TEST_2.C:774-791)."""
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=8, seed=5)
+    # poison lane 0 with NaN data -> chi2 never finite -> no accepted step
+    y = np.asarray(inp.y).copy()
+    y[0] = np.nan
+    inp = inp._replace(y=jnp.asarray(y))
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    assert not conv[0]
+    assert conv[1:].mean() > 0.8
+    p = np.asarray(res.params)
+    np.testing.assert_allclose(p[0, 1::2], np.asarray(inp.t_seed)[0], atol=1e-12)
+
+
+def test_fp32_matches_fp64(cfg, cal):
+    inp64, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=32, seed=6)
+    inp32 = FitInputs(*[jnp.asarray(np.asarray(v).astype(
+        np.float32 if np.asarray(v).dtype == np.float64 else np.asarray(v).dtype))
+        for v in inp64])
+    r64 = fit_waveforms(cfg, inp64)
+    r32 = fit_waveforms(cfg, inp32)
+    c = np.asarray(r64.converged) & np.asarray(r32.converged)
+    assert c.mean() > 0.9
+    dt = np.abs(np.asarray(r32.params)[c, 1] - np.asarray(r64.params)[c, 1])
+    assert np.quantile(dt, 0.9) < 0.05, dt  # < 0.05 bins across precisions
