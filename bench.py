@@ -1,0 +1,87 @@
+"""Benchmark: blocks fitted per second per chip (full event, 1080 blocks).
+
+Runs the complete device pipeline — matched filter, Markov/deconvolution peak
+search, 3x3 cluster gate, batched bounded-LM fit with retry escalation — on a
+dense synthetic batch where every one of the 1080 calorimeter blocks carries
+a pulse, i.e. every block is searched AND fitted (the reference's worst-case
+"full event").
+
+Baseline: the reference (mkerv/nps-waveform-analysis) publishes no throughput
+numbers (BASELINE.md). The denominator used for vs_baseline is therefore an
+explicit engineering estimate of the 4-thread ROOT/Minuit2 macro:
+~300 blocks/s/thread (TSpectrum search + Migrad fit of 90 bins with spline
+evaluation, typical few-ms/block on farm CPUs) x 4 threads = 1200 blocks/s.
+The driver-set target is >=50x that (BASELINE.json).
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_BLOCKS_PER_SEC = 1200.0  # documented estimate, see module docstring
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from npswf_tpu.core.calibration import synthetic_calibration
+    from npswf_tpu.core.config import NPSConfig
+    from npswf_tpu.engine.pipeline import EventBatch, make_pipeline
+    from npswf_tpu.utils.synthetic import make_events
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    cfg = NPSConfig(compute_dtype="float32")
+    cal = synthetic_calibration(cfg, seed=1)
+    E = 16
+    truth = make_events(cfg, cal, E, occupancy=1.0, max_pulses=2,
+                        pileup_prob=0.25, seed=7)
+    rng = np.random.default_rng(11)
+    batch = EventBatch(
+        signal=jnp.asarray(truth.signal.astype(np.float32)),
+        pres=jnp.asarray(truth.pres.astype(bool)),
+        corr_time_HMS=jnp.asarray(rng.uniform(-2, 2, E).astype(np.float32)),
+        evt=jnp.arange(E, dtype=jnp.int32),
+        runnum=jnp.full(E, 3000, dtype=jnp.int32))
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    pipeline = make_pipeline(cfg, calib)
+
+    t0 = time.perf_counter()
+    out = pipeline(batch)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first-run: {compile_s:.1f}s", file=sys.stderr)
+    print(f"pulses found: {int(np.asarray(out.wfnpulse).sum())}, "
+          f"fit success: {int(out.n_fit_success)}, "
+          f"failure: {int(out.n_fit_failure)}", file=sys.stderr)
+
+    # warmup then timed iterations
+    jax.block_until_ready(pipeline(batch))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = pipeline(batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    blocks_per_sec = E * cfg.nblocks / dt
+    print(f"steady-state: {dt * 1e3:.1f} ms/batch of {E} events "
+          f"({E / dt:.1f} ev/s)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "blocks fitted/sec/chip (full event, 1080 blocks)",
+        "value": round(blocks_per_sec, 1),
+        "unit": "blocks/s",
+        "vs_baseline": round(blocks_per_sec / BASELINE_BLOCKS_PER_SEC, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,6 +76,7 @@ class NPSConfig:
     compute_dtype: str = "float32"   # on-device compute dtype
     solver_dtype: str = "float32"    # LM linear-algebra dtype
     fit_capacity: int = 0            # max fitted lanes per batch; 0 = all lanes
+    fit_chunk: int = 4096            # LM sub-batch size (lax.map chunks)
     use_pallas: bool = False         # enable Pallas kernels on TPU
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 

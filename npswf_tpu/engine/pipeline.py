@@ -1,0 +1,266 @@
+"""The batched event pipeline — TPU-native equivalent of ``analyze``.
+
+The reference processes one event per thread through a sequential per-block
+loop (ref TEST_2.C:540-1300). Here a whole event batch is one fixed-shape
+jitted computation:
+
+    signal [E, B, T] --> matched filter + peak search (all E*B lanes)
+                     --> 3x3 cluster gate
+                     --> fit-lane compaction (optional static capacity)
+                     --> batched bounded LM fit with retry escalation
+                     --> output-path resolution + time conversion
+                     --> diagnostics reductions
+
+Output-path semantics preserved from the reference:
+- cluster-gate FAIL: pulses keep their raw TSpectrum values — times in BIN
+  units, seed amplitudes — chi2 = -100, no timewf/amplwf/h1/h2 bookkeeping
+  (the `continue` at ref :985).
+- fit FAIL (both stages): times converted to ns with the seed values
+  (ref :779-791), amplitudes keep seeds, chi2 = -100.
+- fit OK: fitted amplitudes; t_fit*dt + corr_time_HMS - cortime - timerefacc*dt
+  (ref :793-827); chi2 = chi2/ndf.
+- npulse == 0 (gate passed): chi2 = -100 (ref :605-608), no pulses emitted.
+
+timewf/amplwf pick the pulse with |time| closest to zero, first-on-tie
+(ref :999-1016); h1time/h2time are filled for gate-passed pulses with final
+amplitude > 20 (ref :988-997).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.engine.diagnostics import block_diagnostics
+from npswf_tpu.fit.errors import error_model
+from npswf_tpu.fit.lm import FitInputs, fit_waveforms
+from npswf_tpu.ops.cluster_gate import cluster_gate
+from npswf_tpu.ops.peak_search import find_pulses
+
+
+class EventBatch(NamedTuple):
+    """Device-side inputs for one batch of events."""
+    signal: jnp.ndarray          # [E, B, T] waveforms (decoded host-side)
+    pres: jnp.ndarray            # [E, B] bool — block present in the readout
+    corr_time_HMS: jnp.ndarray   # [E] HMS timing correction (host-side, ref :893-911)
+    evt: jnp.ndarray             # [E] global event numbers
+    runnum: jnp.ndarray          # [E] run numbers
+
+
+class PipelineOutput(NamedTuple):
+    """Fixed-shape per-event outputs (ragged flattening happens at write-out)."""
+    wfnpulse: jnp.ndarray        # [E, B] i32
+    wftime: jnp.ndarray          # [E, B, P] — ns (fit paths) or bins (gate fail)
+    wfampl: jnp.ndarray          # [E, B, P]
+    pulse_valid: jnp.ndarray     # [E, B, P] bool
+    chi2: jnp.ndarray            # [E, B] chi2/ndf or -100
+    timewf: jnp.ndarray          # [E, B] closest-to-zero pulse time (or -100)
+    amplwf: jnp.ndarray          # [E, B] its amplitude (or -100)
+    gate: jnp.ndarray            # [E, B] bool — cluster gate decision
+    fit_converged: jnp.ndarray   # [E, B] bool
+    h1time: jnp.ndarray          # [E, B, P] h1 entries (valid via h_mask)
+    h2time: jnp.ndarray          # [E, B, P]
+    h_mask: jnp.ndarray          # [E, B, P] bool
+    ampl: jnp.ndarray            # [E, B] max sample (diagnostics)
+    ener: jnp.ndarray            # [E, B]
+    integ: jnp.ndarray           # [E, B]
+    bkg: jnp.ndarray             # [E, B]
+    noise: jnp.ndarray           # [E, B]
+    enertot: jnp.ndarray         # [E]
+    integtot: jnp.ndarray        # [E]
+    n_fit_success: jnp.ndarray   # [] i32 — batch totals (ref atomics :61-62)
+    n_fit_failure: jnp.ndarray   # [] i32
+    n_fit_dropped: jnp.ndarray   # [] i32 — lanes beyond fit_capacity (no silent cap)
+
+
+def _gather_lanes(arr, sel):
+    return jnp.take(arr, sel, axis=0)
+
+
+def _fit_chunked(cfg: NPSConfig, inp: FitInputs):
+    """Run the LM fit in fixed-size sub-batches via ``lax.map``.
+
+    Chunking bounds the compiled kernel sizes (very large fused fit bodies
+    both compile slowly and can fault the TPU) and lets each chunk's
+    while_loop exit as soon as its own lanes converge.
+    """
+    n = inp.y.shape[0]
+    chunk = cfg.fit_chunk if cfg.fit_chunk > 0 else n
+    if n <= chunk:
+        return fit_waveforms(cfg, inp)
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+
+    def pad0(x, value=0):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    padded = FitInputs(*[pad0(v, 1 if name == "sigma" else 0)
+                         for name, v in zip(FitInputs._fields, inp)])
+    chunked = FitInputs(*[v.reshape((nc, chunk) + v.shape[1:]) for v in padded])
+    res = jax.lax.map(lambda c: fit_waveforms(cfg, c), chunked)
+    return jax.tree.map(lambda v: v.reshape((nc * chunk,) + v.shape[2:])[:n], res)
+
+
+def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                  batch: EventBatch, block_axis: Optional[str] = None,
+                  block_shards: int = 1,
+                  reduce_axes: Tuple[str, ...] = ()) -> PipelineOutput:
+    """Run the full pipeline on one event batch. Shapes are static in (E, B, T).
+
+    Inside shard_map, ``block_axis``/``block_shards`` enable the halo-exchanged
+    cluster stencil across calorimeter-row shards, and ``reduce_axes`` names
+    the mesh axes over which the fit counters are psum-reduced (the reference's
+    atomic counters, ref TEST_2.C:61-62, become one XLA collective).
+    """
+    signal = batch.signal
+    E, B, T = signal.shape
+    P = cfg.maxwfpulses
+    dtype = signal.dtype
+    N = E * B
+
+    preswf = calib["preswf"]
+    timeref = calib["timeref"].astype(dtype)
+    cortime = calib["cortime"].astype(dtype)
+    timerefacc = jnp.asarray(calib["timerefacc"], dtype)
+    coeffs = calib["spline_coeffs"].astype(dtype)
+    x0 = calib["spline_x0"].astype(dtype)
+    kern = calib["mfkern_rev"].astype(dtype)
+
+    present = batch.pres & preswf[None, :]                     # [E, B]
+    flat_sig = signal.reshape(N, T)
+    flat_present = present.reshape(N)
+    minsignal = jnp.min(flat_sig, axis=1)                      # ref :884 (nsamp==T)
+    kern_flat = jnp.broadcast_to(kern[None], (E, B, cfg.mfwidth)).reshape(N, -1)
+
+    # ---- peak search -------------------------------------------------
+    ps = find_pulses(cfg, flat_sig, minsignal, kern_flat, flat_present)
+    npulse = ps.npulse                                          # [N]
+    seed_t_abs = ps.times                                       # [N, P] bins
+    seed_a = ps.amps
+    pulse_mask = ps.valid
+
+    # ---- cluster gate ------------------------------------------------
+    gate = cluster_gate(cfg, signal, timeref, timerefacc,
+                        block_axis, block_shards).reshape(N)
+    fit_active = flat_present & gate & (npulse > 0)
+
+    # ---- fit-lane compaction (static capacity) -----------------------
+    cap = cfg.fit_capacity if cfg.fit_capacity > 0 else N
+    cap = min(cap, N)
+    order = jnp.argsort(~fit_active, stable=True)
+    sel = order[:cap]
+    n_active = jnp.sum(fit_active)
+    n_dropped = jnp.maximum(n_active - cap, 0).astype(jnp.int32)
+
+    blocks_flat = jnp.tile(jnp.arange(B), E)
+    sel_blocks = blocks_flat[sel]
+    sel_sig = _gather_lanes(flat_sig, sel)
+    sel_err = error_model(cfg, sel_sig)
+    timeref_sel = timeref[sel_blocks]
+    inp = FitInputs(
+        y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+        sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+        coeffs=coeffs[sel_blocks],
+        x0=x0[sel_blocks],
+        t_seed=_gather_lanes(seed_t_abs, sel) - timeref_sel[:, None],  # ref :662
+        a_seed=_gather_lanes(seed_a, sel),
+        ped_seed=jnp.mean(sel_sig[:, :cfg.ped_nsamples], axis=1),      # ref :672-676
+        pulse_mask=_gather_lanes(pulse_mask, sel),
+        active=_gather_lanes(fit_active, sel))
+    fres = _fit_chunked(cfg, inp)
+
+    # scatter fit results back to all lanes
+    params = jnp.zeros((N, 1 + 2 * P), dtype).at[sel].set(fres.params)
+    chi2_ndf = jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf)
+    converged = jnp.zeros((N,), bool).at[sel].set(fres.converged)
+    # lanes that actually went through the fitter (active and within capacity)
+    fitted = jnp.zeros((N,), bool).at[sel].set(True) & fit_active
+
+    # ---- output-path resolution --------------------------------------
+    cortime_b = cortime[blocks_flat]                            # [N]
+    corr = jnp.repeat(batch.corr_time_HMS.astype(dtype), B)     # [N]
+    t_param = params[:, 1::2]                                   # [N, P] rel bins
+    a_param = params[:, 2::2]
+    seed_t_rel = seed_t_abs - timeref[blocks_flat][:, None]
+
+    # fitted lanes carry solver params (seed fallback applied inside the
+    # solver for failed lanes); non-fitted keep raw seeds
+    t_rel = jnp.where(fitted[:, None], t_param, seed_t_rel)
+    a_fin = jnp.where((fitted & converged)[:, None], a_param, seed_a)
+
+    conv_term = (corr - cortime_b - timerefacc * cfg.dt)[:, None]
+    t_ns = t_rel * cfg.dt + conv_term                           # ref :782-785, :812-815
+    # gate-fail lanes keep raw bin-unit times (no conversion, ref :962-986)
+    wftime = jnp.where(fitted[:, None], t_ns, seed_t_abs)
+    wfampl = a_fin
+    chi2 = jnp.where(fitted & converged, chi2_ndf, -100.0).astype(dtype)
+
+    # timewf/amplwf: |time| closest to zero among valid pulses, first on tie
+    big = jnp.asarray(jnp.inf, dtype)
+    abs_t = jnp.where(pulse_mask, jnp.abs(wftime), big)
+    best = jnp.argmin(abs_t, axis=1)                            # first-min (ref :1009-1016)
+    has = fitted & (npulse > 0)
+    timewf = jnp.where(has, jnp.take_along_axis(wftime, best[:, None], axis=1)[:, 0], -100.0)
+    amplwf = jnp.where(has, jnp.take_along_axis(wfampl, best[:, None], axis=1)[:, 0], -100.0)
+
+    # h1/h2 entries (ref :988-997): gate-passed lanes, final amplitude > 20
+    h_mask = fitted[:, None] & pulse_mask & (wfampl > cfg.amp_h12_thres)
+    h1 = t_rel - timerefacc + corr[:, None] / cfg.dt            # ref :994
+    h2 = wftime
+
+    diag = block_diagnostics(cfg, signal)
+    enertot, integtot = diag["enertot"], diag["integtot"]
+    if block_axis is not None:
+        # event totals span all blocks: reduce partial sums across row shards
+        # (also needed for size-1 block axes so shard_map can infer replication)
+        enertot = jax.lax.psum(enertot, block_axis)
+        integtot = jax.lax.psum(integtot, block_axis)
+
+    n_succ = jnp.sum(fit_active & converged).astype(jnp.int32)
+    n_fail = jnp.sum(fit_active & ~converged).astype(jnp.int32)
+    for ax in reduce_axes:
+        n_succ = jax.lax.psum(n_succ, ax)
+        n_fail = jax.lax.psum(n_fail, ax)
+        n_dropped = jax.lax.psum(n_dropped, ax)
+
+    return PipelineOutput(
+        wfnpulse=npulse.reshape(E, B),
+        wftime=wftime.reshape(E, B, P),
+        wfampl=wfampl.reshape(E, B, P),
+        pulse_valid=pulse_mask.reshape(E, B, P),
+        chi2=chi2.reshape(E, B),
+        timewf=timewf.reshape(E, B),
+        amplwf=amplwf.reshape(E, B),
+        gate=gate.reshape(E, B),
+        fit_converged=(fitted & converged).reshape(E, B),
+        h1time=h1.reshape(E, B, P),
+        h2time=h2.reshape(E, B, P),
+        h_mask=h_mask.reshape(E, B, P),
+        ampl=diag["ampl"], ener=diag["ener"], integ=diag["integ"],
+        bkg=diag["bkg"], noise=diag["noise"],
+        enertot=enertot, integtot=integtot,
+        n_fit_success=n_succ,
+        n_fit_failure=n_fail,
+        n_fit_dropped=n_dropped)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _process_batch_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                       batch: EventBatch) -> PipelineOutput:
+    return process_batch(cfg, calib, batch)
+
+
+def make_pipeline(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                  donate: bool = False):
+    """jit-compiled pipeline closure over static config + calibration.
+
+    Compilation is cached process-wide on (config, shapes): NPSConfig is a
+    frozen dataclass and participates in the jit cache key as a static
+    argument, so repeated make_pipeline calls reuse the same executable.
+    """
+    del donate  # calibration is shared across batches; nothing safe to donate
+    return functools.partial(_process_batch_jit, cfg, calib)

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.fit.linalg import cholesky_solve
 from npswf_tpu.models.waveform import WaveformModel, get_model
 
 
@@ -57,33 +58,29 @@ class FitResult(NamedTuple):
 # ----------------------------------------------------------------------
 # Bound transform (Minuit-style)
 # ----------------------------------------------------------------------
+def _interleave(first: jnp.ndarray, t: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """[N],[N,P],[N,P] -> [N, 1+2P] in the reference's (ped, t0, A0, ...)
+    layout. Built with stack+reshape — strided scatters compile badly on TPU."""
+    inter = jnp.stack([t, a], axis=-1).reshape(t.shape[0], -1)
+    return jnp.concatenate([first[:, None], inter], axis=1)
+
+
 def _bounds(cfg: NPSConfig, inp: FitInputs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(lo, hi) [N, M] in the reference's layout (ref TEST_2.C:664-670)."""
     N, P = inp.t_seed.shape
-    M = 1 + 2 * P
     dt_lim = jnp.asarray(cfg.time_limit, inp.y.dtype)
-    lo = jnp.zeros((N, M), inp.y.dtype)
-    hi = jnp.zeros((N, M), inp.y.dtype)
-    lo = lo.at[:, 0].set(-cfg.ped_limit)
-    hi = hi.at[:, 0].set(cfg.ped_limit)
-    lo = lo.at[:, 1::2].set(inp.t_seed - dt_lim)
-    hi = hi.at[:, 1::2].set(inp.t_seed + dt_lim)
     a_lo = inp.a_seed * cfg.amp_lo_frac
     a_hi = inp.a_seed * cfg.amp_hi_frac
+    ped = jnp.full((N,), cfg.ped_limit, inp.y.dtype)
     # negative-amplitude seeds cannot occur (|raw - min|), but keep lo<=hi
-    lo = lo.at[:, 2::2].set(jnp.minimum(a_lo, a_hi))
-    hi = hi.at[:, 2::2].set(jnp.maximum(a_lo, a_hi))
+    lo = _interleave(-ped, inp.t_seed - dt_lim, jnp.minimum(a_lo, a_hi))
+    hi = _interleave(ped, inp.t_seed + dt_lim, jnp.maximum(a_lo, a_hi))
     return lo, hi
 
 
 def _seed_params(cfg: NPSConfig, inp: FitInputs) -> jnp.ndarray:
-    N, P = inp.t_seed.shape
-    M = 1 + 2 * P
-    p = jnp.zeros((N, M), inp.y.dtype)
-    p = p.at[:, 0].set(jnp.clip(inp.ped_seed, -cfg.ped_limit, cfg.ped_limit))
-    p = p.at[:, 1::2].set(inp.t_seed)
-    p = p.at[:, 2::2].set(inp.a_seed)
-    return p
+    return _interleave(jnp.clip(inp.ped_seed, -cfg.ped_limit, cfg.ped_limit),
+                       inp.t_seed, inp.a_seed)
 
 
 def _to_internal(p, lo, hi, param_mask):
@@ -155,7 +152,7 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
         # Marquardt damping on the scaled system: diagonal becomes (1 + lam)
         damped = As * (1.0 - eye[None]) + eye[None] * (1.0 + lam[:, None, None])
         gs = jnp.where(dead, 0.0, gs)
-        delta_s = jnp.linalg.solve(damped, gs[:, :, None])[:, :, 0]
+        delta_s = cholesky_solve(damped, gs)
         delta = delta_s / scale
         return jnp.where(dead, 0.0, delta)
 
@@ -164,14 +161,17 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     gtol_eff = max(cfg.lm_gtol, 100.0 * eps)
 
     chi2_0, _ = chi2_at(u0)
+    # initial carry values are derived from varying inputs so the carry's
+    # manual-axis ("varying") types stay stable under shard_map
+    zero = chi2_0 * 0.0
     state = dict(
         u=u0,
         chi2=jnp.where(active, chi2_0, 0.0),
-        lam=jnp.full((N,), lam0, dtype),
+        lam=zero + lam0,
         done=~active,
-        conv=jnp.zeros((N,), bool),
-        n_iter=jnp.zeros((N,), jnp.int32),
-        edm=jnp.full((N,), jnp.inf, dtype),
+        conv=active & jnp.zeros((N,), bool),
+        n_iter=zero.astype(jnp.int32),
+        edm=zero + jnp.inf,
         it=jnp.asarray(0, jnp.int32),
     )
 
@@ -236,16 +236,34 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
         cfg.lm_max_iter_stage1, cfg.lm_lambda_init)
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
-    # (Migrad strategy escalation, ref TEST_2.C:765-767)
+    # (Migrad strategy escalation, ref TEST_2.C:765-767). Failed lanes are a
+    # small fraction (~1-2%, README.md:129), so they are compacted into a
+    # static sub-batch before the expensive long-budget re-solve.
     failed1 = inp.active & ~conv1
-    u2, chi2_2, conv2, it2, edm2 = lm_solve(
-        cfg, model, inp, u0, lo, hi, p_seed, pm, failed1,
+    n2 = max(min(N, 128), N // 8)
+    order2 = jnp.argsort(~failed1, stable=True)[:n2]
+
+    def take(x):
+        return jnp.take(x, order2, axis=0)
+
+    inp2 = FitInputs(
+        y=take(inp.y), sigma=take(inp.sigma), coeffs=take(inp.coeffs),
+        x0=take(inp.x0), t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
+        ped_seed=take(inp.ped_seed), pulse_mask=take(inp.pulse_mask),
+        active=take(failed1))
+    u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
+        cfg, get_model(model_name), inp2, take(u0), take(lo), take(hi),
+        take(p_seed), take(pm), take(failed1),
         cfg.lm_max_iter_stage2, cfg.lm_lambda_init * 10.0)
+    u2 = jnp.zeros_like(u1).at[order2].set(u2c)
+    chi2_2 = jnp.zeros_like(chi2_1).at[order2].set(chi2_2c)
+    conv2 = jnp.zeros_like(conv1).at[order2].set(conv2c)
+    it2 = jnp.zeros_like(it1).at[order2].set(it2c)
 
     use2 = failed1 & conv2
     u = jnp.where(use2[:, None], u2, u1)
     chi2 = jnp.where(use2, chi2_2, chi2_1)
-    converged = conv1 | conv2
+    converged = conv1 | (failed1 & conv2)
     params = _to_physical(u, lo, hi, p_seed, pm)
     # still-failed lanes report their seed parameters (ref :774-791 fallback)
     params = jnp.where((inp.active & ~converged)[:, None], p_seed, params)
@@ -254,4 +272,4 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     return FitResult(params=params, chi2=chi2, chi2_ndf=chi2 / ndf,
                      converged=converged, converged_stage1=conv1,
                      n_iter=it1 + it2,
-                     edm=jnp.where(use2, edm2, edm1))
+                     edm=edm1)

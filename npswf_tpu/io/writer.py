@@ -1,0 +1,187 @@
+"""WF output writer: ragged flattening, ordered merge, persistence.
+
+Equivalent of the reference's output layer (component C14/C3):
+- the flattened ``wfampl``/``wftime`` layout indexed by ``wfnpulse``
+  (ref TEST_2.C:585-587, 1289-1296; README.md:127): per event, each block's
+  pulses concatenated in block order,
+- the (runnum, evt) ordered index restoring the MT-shuffled event order
+  (``BuildIndex`` at ref :1410-1422) — here a stored ``sort_order`` array,
+- the FastCloneAndFilter equivalent (ref :88-122): opaque payload arrays from
+  the input segment are carried into the output file, minus the raw stream,
+- the h1time/h2time booked histograms (ref :533-534, 1369-1370), accumulated
+  over all events.
+
+Output container is a single .npz with the 17 Snapshot columns
+(ref :1387) plus histograms and the index.
+"""
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from npswf_tpu.core.config import NPSConfig
+from npswf_tpu.io import native
+
+# h1time: 200 bins in [-50, 50); h2time: 200 bins in [-100, 100) (ref :533-534)
+H1_BINS, H1_LO, H1_HI = 200, -50.0, 50.0
+H2_BINS, H2_LO, H2_HI = 200, -100.0, 100.0
+
+
+def flatten_pulses_np(npulse: np.ndarray, times: np.ndarray, amps: np.ndarray):
+    """numpy fallback for the ragged flatten. [E,B] i32, [E,B,P] -> flat."""
+    E, B, P = times.shape
+    mask = np.arange(P)[None, None, :] < npulse[:, :, None]
+    out_t = times[mask]
+    out_a = amps[mask]
+    counts = npulse.sum(axis=1)
+    offsets = np.zeros(E + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return out_t, out_a, offsets
+
+
+def flatten_pulses(npulse: np.ndarray, times: np.ndarray, amps: np.ndarray):
+    """Ragged flatten via the native library when available."""
+    lib = native.load()
+    E, B, P = times.shape
+    if lib is None:
+        return flatten_pulses_np(npulse, times, amps)
+    npulse_c = np.ascontiguousarray(npulse, np.int32)
+    t_c = np.ascontiguousarray(times, np.float64)
+    a_c = np.ascontiguousarray(amps, np.float64)
+    total = int(npulse_c.sum())
+    out_t = np.empty(total, np.float64)
+    out_a = np.empty(total, np.float64)
+    offsets = np.empty(E + 1, np.int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.flatten_pulses(
+        npulse_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        t_c.ctypes.data_as(f64p), a_c.ctypes.data_as(f64p),
+        E, B, P, out_t.ctypes.data_as(f64p), out_a.ctypes.data_as(f64p),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out_t, out_a, offsets
+
+
+@dataclass
+class WFWriter:
+    """Accumulates pipeline batches; finalize() writes the ordered WF file."""
+    cfg: NPSConfig
+    payload: Dict[str, np.ndarray] = field(default_factory=dict)
+    _cols: Dict[str, List[np.ndarray]] = field(default_factory=dict)
+    _h1: np.ndarray = field(default_factory=lambda: np.zeros(H1_BINS, np.int64))
+    _h2: np.ndarray = field(default_factory=lambda: np.zeros(H2_BINS, np.int64))
+    n_fit_success: int = 0
+    n_fit_failure: int = 0
+    n_fit_dropped: int = 0
+
+    def _append(self, name: str, arr: np.ndarray) -> None:
+        self._cols.setdefault(name, []).append(np.asarray(arr))
+
+    def add_batch(self, out, decoded, n_valid: Optional[int] = None) -> None:
+        """Add a PipelineOutput + DecodedBatch (host numpy views).
+
+        ``n_valid`` trims padding events appended to fill a fixed batch shape.
+        """
+        n = n_valid if n_valid is not None else np.asarray(out.wfnpulse).shape[0]
+        npulse = np.asarray(out.wfnpulse)[:n]
+        wftime = np.asarray(out.wftime, np.float64)[:n]
+        wfampl = np.asarray(out.wfampl, np.float64)[:n]
+        ft, fa, offs = flatten_pulses(npulse, wftime, wfampl)
+        self._append("wftime_flat", ft)
+        self._append("wfampl_flat", fa)
+        self._append("wf_counts", np.diff(offs))
+
+        h1 = np.asarray(out.h1time, np.float64)[:n]
+        h2 = np.asarray(out.h2time, np.float64)[:n]
+        hm = np.asarray(out.h_mask)[:n]
+        hc = hm.reshape(n, -1).sum(axis=(1,)).astype(np.int64)
+        self._append("h1time_flat", h1[hm])
+        self._append("h2time_flat", h2[hm])
+        self._append("h_counts", hc)
+        if hm.any():
+            self._h1 += np.histogram(h1[hm], bins=H1_BINS, range=(H1_LO, H1_HI))[0]
+            self._h2 += np.histogram(h2[hm], bins=H2_BINS, range=(H2_LO, H2_HI))[0]
+
+        self._append("chi2", np.asarray(out.chi2, np.float64)[:n])
+        self._append("ampl", np.asarray(out.ampl, np.float64)[:n])
+        self._append("amplwf", np.asarray(out.amplwf, np.float64)[:n])
+        self._append("wfnpulse", npulse.astype(np.int32))
+        self._append("timewf", np.asarray(out.timewf, np.float64)[:n])
+        self._append("enertot", np.asarray(out.enertot, np.float64)[:n])
+        self._append("integtot", np.asarray(out.integtot, np.float64)[:n])
+        B = self.cfg.nblocks
+        self._append("pres", np.asarray(decoded.pres[:n, :B], np.int32))
+        self._append("corr_time_HMS", np.asarray(decoded.corr_time_HMS)[:n])
+        self._append("Sampampl", np.asarray(decoded.sampampl)[:n])
+        self._append("Samptime", np.asarray(decoded.samptime)[:n])
+        self._append("evt", np.asarray(decoded.evt)[:n])
+        self._append("runnum", np.asarray(decoded.runnum)[:n])
+        self.n_fit_success += int(out.n_fit_success)
+        self.n_fit_failure += int(out.n_fit_failure)
+        self.n_fit_dropped += int(out.n_fit_dropped)
+
+    def ingest_part(self, part: Dict[str, np.ndarray]) -> None:
+        """Re-ingest a previously finalized (single-batch) part file's columns
+        — used by the executor's checkpointed part/merge flow."""
+        for k, v in part.items():
+            if k in ("sort_order", "h1time_hist", "h2time_hist") or \
+                    k.startswith("payload_"):
+                continue
+            if k == "fit_counters":
+                self.n_fit_success += int(v[0])
+                self.n_fit_failure += int(v[1])
+                self.n_fit_dropped += int(v[2])
+            elif k == "wf_offsets":
+                self._append("wf_counts", np.diff(v))
+            elif k == "h_offsets":
+                self._append("h_counts", np.diff(v))
+            else:
+                self._append(k, v)
+        self._h1 += part["h1time_hist"]
+        self._h2 += part["h2time_hist"]
+
+    def finalize(self, path: str) -> Dict[str, np.ndarray]:
+        cols = {k: np.concatenate(v) if v else np.zeros(0)
+                for k, v in self._cols.items()}
+        E = cols["evt"].shape[0]
+        for key in ("wf", "h"):
+            counts = cols.pop(f"{key}_counts", np.zeros(E, np.int64))
+            offs = np.zeros(E + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            cols[f"{key}_offsets"] = offs
+        # BuildIndex("runnum","evt") equivalent (ref :1410): a stable
+        # (runnum, evt)-ordered permutation of the stored rows.
+        cols["sort_order"] = np.lexsort((cols["evt"], cols["runnum"]))
+        cols["h1time_hist"] = self._h1
+        cols["h2time_hist"] = self._h2
+        cols["fit_counters"] = np.array(
+            [self.n_fit_success, self.n_fit_failure, self.n_fit_dropped], np.int64)
+        for k, v in self.payload.items():
+            cols[f"payload_{k}"] = v
+        np.savez_compressed(path, **cols)
+        return cols
+
+
+def read_wf(path: str) -> Dict[str, np.ndarray]:
+    z = np.load(path)
+    return {k: z[k] for k in z.files}
+
+
+def iter_events_sorted(wf: Dict[str, np.ndarray]):
+    """Replay events through the stored index (the TTreeIndex pattern the
+    reference documents for consumers, README.md:135-161)."""
+    order = wf["sort_order"]
+    offs = wf["wf_offsets"]
+    for row in order:
+        yield {
+            "evt": wf["evt"][row],
+            "runnum": wf["runnum"][row],
+            "wfnpulse": wf["wfnpulse"][row],
+            "chi2": wf["chi2"][row],
+            "wftime": wf["wftime_flat"][offs[row]:offs[row + 1]],
+            "wfampl": wf["wfampl_flat"][offs[row]:offs[row + 1]],
+        }

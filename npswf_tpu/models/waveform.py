@@ -58,13 +58,14 @@ class SplineRefModel(WaveformModel):
         dval = dval.reshape(N, P, K)
         act = pulse_mask[:, :, None].astype(params.dtype)
         f = ped[:, None] + jnp.sum(act * apar[:, :, None] * val, axis=1)  # [N, K]
-        J = jnp.zeros((N, K, M), params.dtype)
-        J = J.at[:, :, 0].set(1.0)
-        # d f / d t_p = -A_p * ref'(x - t_p); d f / d A_p = ref(x - t_p)
+        # d f / d t_p = -A_p * ref'(x - t_p); d f / d A_p = ref(x - t_p).
+        # Columns are interleaved (t_0, A_0, t_1, A_1, ...) via stack+reshape —
+        # strided .at[::2].set scatters compile pathologically on TPU.
         Jt = (-act * apar[:, :, None] * dval).transpose(0, 2, 1)  # [N, K, P]
         Ja = (act * val).transpose(0, 2, 1)
-        J = J.at[:, :, 1::2].set(Jt)
-        J = J.at[:, :, 2::2].set(Ja)
+        inter = jnp.stack([Jt, Ja], axis=-1).reshape(N, K, 2 * P)
+        J = jnp.concatenate(
+            [jnp.ones((N, K, 1), params.dtype), inter], axis=-1)
         return f, J
 
 

@@ -25,10 +25,8 @@ def spline_eval(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
     rel = t - x0[..., None]
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
     u = rel - idx.astype(t.dtype)
-    a = jnp.take_along_axis(coeffs[..., 0], idx, axis=-1)
-    b = jnp.take_along_axis(coeffs[..., 1], idx, axis=-1)
-    c = jnp.take_along_axis(coeffs[..., 2], idx, axis=-1)
-    d = jnp.take_along_axis(coeffs[..., 3], idx, axis=-1)
+    c4 = jnp.take_along_axis(coeffs, idx[..., None], axis=-2)  # one gather
+    a, b, c, d = c4[..., 0], c4[..., 1], c4[..., 2], c4[..., 3]
     return ((d * u + c) * u + b) * u + a
 
 
@@ -43,10 +41,8 @@ def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
     rel = t - x0[..., None]
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
     u = rel - idx.astype(t.dtype)
-    a = jnp.take_along_axis(coeffs[..., 0], idx, axis=-1)
-    b = jnp.take_along_axis(coeffs[..., 1], idx, axis=-1)
-    c = jnp.take_along_axis(coeffs[..., 2], idx, axis=-1)
-    d = jnp.take_along_axis(coeffs[..., 3], idx, axis=-1)
+    c4 = jnp.take_along_axis(coeffs, idx[..., None], axis=-2)  # one gather
+    a, b, c, d = c4[..., 0], c4[..., 1], c4[..., 2], c4[..., 3]
     val = ((d * u + c) * u + b) * u + a
     dval = (3.0 * d * u + 2.0 * c) * u + b
     gate = (t > cfg.spline_gate_lo) & (t < cfg.ntime - 1)

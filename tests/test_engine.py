@@ -1,0 +1,131 @@
+"""End-to-end engine tests on synthetic batches."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from npswf_tpu.engine.pipeline import EventBatch, make_pipeline, process_batch
+from npswf_tpu.golden.reference import cluster_gate_golden, find_pulses_golden
+from npswf_tpu.utils.synthetic import make_events
+
+
+def _batch(cfg, cal, E=3, seed=7, occupancy=0.05, **kw):
+    truth = make_events(cfg, cal, E, occupancy=occupancy, seed=seed, **kw)
+    rng = np.random.default_rng(seed + 1)
+    corr = rng.uniform(-2, 2, E)
+    batch = EventBatch(
+        signal=jnp.asarray(truth.signal),
+        pres=jnp.asarray(truth.pres.astype(bool)),
+        corr_time_HMS=jnp.asarray(corr),
+        evt=jnp.arange(E, dtype=jnp.int64),
+        runnum=jnp.full(E, 3000, dtype=jnp.int64))
+    return truth, batch, corr
+
+
+def test_pipeline_end_to_end(cfg, cal):
+    truth, batch, corr = _batch(cfg, cal, E=3, occupancy=0.06, max_pulses=2)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = process_batch(cfg, calib, batch)
+    E, B = truth.signal.shape[:2]
+    npulse = np.asarray(out.wfnpulse)
+    assert npulse.sum() > 0.5 * truth.npulse.sum()
+    # converged fits dominate
+    act = np.asarray(out.gate) & (npulse > 0)
+    conv = np.asarray(out.fit_converged)
+    assert conv[act].mean() > 0.95
+    assert int(out.n_fit_success) == int(conv.sum())
+    assert int(out.n_fit_failure) == int((act & ~conv).sum())
+    assert int(out.n_fit_dropped) == 0
+    # chi2 flag semantics
+    chi2 = np.asarray(out.chi2)
+    assert np.all(chi2[~act] == -100.0)
+    assert np.all(chi2[conv] >= 0.0)
+    # timewf defined exactly on fitted lanes with pulses
+    timewf = np.asarray(out.timewf)
+    assert np.all(timewf[~act] == -100.0)
+    assert np.all(timewf[act & conv] != -100.0)
+
+
+def test_time_conversion_formula(cfg, cal):
+    """wftime on fit paths must equal t_rel*dt + corr - cortime - timerefacc*dt."""
+    truth, batch, corr = _batch(cfg, cal, E=2, occupancy=0.05, max_pulses=1)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = process_batch(cfg, calib, batch)
+    E, B = truth.signal.shape[:2]
+    npulse = np.asarray(out.wfnpulse)
+    conv = np.asarray(out.fit_converged)
+    wftime = np.asarray(out.wftime)
+    checked = 0
+    for e in range(E):
+        for b in np.nonzero(conv[e] & (npulse[e] == 1))[0]:
+            t_ns = wftime[e, b, 0]
+            # invert: recovered absolute peak bin should be near the truth
+            t_rel = (t_ns - corr[e] + cal.cortime[b] + cal.timerefacc * cfg.dt) / cfg.dt
+            t_abs = t_rel + cal.timeref[b]
+            if truth.npulse[e, b] == 1:
+                assert abs(t_abs - truth.times[e, b, 0]) < 0.5, (e, b)
+                checked += 1
+    assert checked > 5
+
+
+def test_gate_fail_path_keeps_bins(cfg, cal):
+    """Blocks failing the cluster gate keep raw TSpectrum bin times, chi2=-100."""
+    truth, batch, corr = _batch(cfg, cal, E=2, occupancy=0.05, max_pulses=1,
+                                amp_range=(25.0, 60.0))
+    # sabotage the gate with a huge trig threshold -> nothing passes
+    cfg_hi = cfg.replace(trig_thres=1e9)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = process_batch(cfg_hi, calib, batch)
+    npulse = np.asarray(out.wfnpulse)
+    wftime = np.asarray(out.wftime)
+    chi2 = np.asarray(out.chi2)
+    assert not np.asarray(out.gate).any()
+    assert np.all(chi2 == -100.0)
+    assert np.all(np.asarray(out.timewf) == -100.0)
+    # raw times are bin positions inside the search window
+    lanes = npulse > 0
+    assert lanes.sum() > 0
+    for e, b in zip(*np.nonzero(lanes)):
+        t = wftime[e, b, :npulse[e, b]]
+        assert np.all((t > cfg.mfstart) & (t < cfg.mfend))
+
+
+def test_fit_capacity_drop_counter(cfg, cal):
+    truth, batch, corr = _batch(cfg, cal, E=2, occupancy=0.08, max_pulses=1)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    cfg_cap = cfg.replace(fit_capacity=4)
+    out = process_batch(cfg_cap, calib, batch)
+    out_full = process_batch(cfg, calib, batch)
+    n_act = int((np.asarray(out_full.gate) & (np.asarray(out_full.wfnpulse) > 0)).sum())
+    assert int(out.n_fit_dropped) == max(0, n_act - 4)
+    assert int(out.n_fit_success) <= 4
+
+
+def test_engine_matches_golden_decisions(cfg, cal):
+    """wfnpulse and gate decisions match the scalar oracle per lane."""
+    truth, batch, corr = _batch(cfg, cal, E=1, occupancy=0.04, max_pulses=2, seed=17)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = process_batch(cfg, calib, batch)
+    npulse = np.asarray(out.wfnpulse)[0]
+    gate = np.asarray(out.gate)[0]
+    sig = truth.signal[0]
+    pres = truth.pres[0]
+    check_blocks = list(np.nonzero(truth.npulse[0])[0][:15]) + [0, 500, 1079]
+    for b in check_blocks:
+        gn, gt, ga = find_pulses_golden(cfg, sig[b], sig[b].min(),
+                                        cal.mfkern_rev[b], True)
+        assert npulse[b] == gn, b
+        gg = cluster_gate_golden(cfg, sig, pres, int(b), cal.timeref[b],
+                                 cal.timerefacc)
+        assert bool(gate[b]) == gg, b
+
+
+def test_pipeline_jit_consistency(cfg, cal):
+    truth, batch, corr = _batch(cfg, cal, E=2, occupancy=0.04)
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    eager = process_batch(cfg, calib, batch)
+    jitted = make_pipeline(cfg, calib)(batch)
+    for name in ("wfnpulse", "chi2", "wftime", "timewf", "enertot"):
+        np.testing.assert_allclose(np.asarray(getattr(jitted, name)),
+                                   np.asarray(getattr(eager, name)),
+                                   rtol=1e-10, atol=1e-10, err_msg=name)
