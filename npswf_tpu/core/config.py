@@ -77,6 +77,10 @@ class NPSConfig:
     solver_dtype: str = "float32"    # LM linear-algebra dtype
     fit_capacity: int = 0            # max fitted lanes per batch; 0 = all lanes
     fit_chunk: int = 4096            # LM sub-batch size (lax.map chunks)
+    fit_small_pulses: int = 2        # bucket boundary: lanes with <= this many
+                                     # pulses fit with a narrow parameter vector
+    fit_big_frac: int = 8            # capacity of the wide bucket = cap/this
+    spline_mode: str = "gather"      # segment select: "gather" | "onehot" (MXU)
     use_pallas: bool = False         # enable Pallas kernels on TPU
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 

@@ -148,37 +148,58 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                         block_axis, block_shards).reshape(N)
     fit_active = flat_present & gate & (npulse > 0)
 
-    # ---- fit-lane compaction (static capacity) -----------------------
-    cap = cfg.fit_capacity if cfg.fit_capacity > 0 else N
-    cap = min(cap, N)
-    order = jnp.argsort(~fit_active, stable=True)
-    sel = order[:cap]
-    n_active = jnp.sum(fit_active)
-    n_dropped = jnp.maximum(n_active - cap, 0).astype(jnp.int32)
-
+    # ---- fit-lane compaction + pulse-count bucketing ------------------
+    # Lanes are compacted to a static capacity, and split by pulse count:
+    # the overwhelming majority of blocks carry <= fit_small_pulses pulses
+    # (ref README.md:129 quality figure), so they fit with a narrow
+    # 1+2*Ps parameter vector (smaller Jacobians, 5x5 instead of 25x25
+    # normal equations); rare high-pileup lanes go through the wide bucket.
+    M = 1 + 2 * P
+    Ps = max(1, min(cfg.fit_small_pulses, P))
+    cap_all = min(cfg.fit_capacity if cfg.fit_capacity > 0 else N, N)
+    small_active = fit_active & (npulse <= Ps)
+    big_active = fit_active & (npulse > Ps)
     blocks_flat = jnp.tile(jnp.arange(B), E)
-    sel_blocks = blocks_flat[sel]
-    sel_sig = _gather_lanes(flat_sig, sel)
-    sel_err = error_model(cfg, sel_sig)
-    timeref_sel = timeref[sel_blocks]
-    inp = FitInputs(
-        y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
-        sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
-        coeffs=coeffs[sel_blocks],
-        x0=x0[sel_blocks],
-        t_seed=_gather_lanes(seed_t_abs, sel) - timeref_sel[:, None],  # ref :662
-        a_seed=_gather_lanes(seed_a, sel),
-        ped_seed=jnp.mean(sel_sig[:, :cfg.ped_nsamples], axis=1),      # ref :672-676
-        pulse_mask=_gather_lanes(pulse_mask, sel),
-        active=_gather_lanes(fit_active, sel))
-    fres = _fit_chunked(cfg, inp)
 
-    # scatter fit results back to all lanes
-    params = jnp.zeros((N, 1 + 2 * P), dtype).at[sel].set(fres.params)
-    chi2_ndf = jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf)
-    converged = jnp.zeros((N,), bool).at[sel].set(fres.converged)
-    # lanes that actually went through the fitter (active and within capacity)
-    fitted = jnp.zeros((N,), bool).at[sel].set(True) & fit_active
+    params = jnp.zeros((N, M), dtype)
+    chi2_ndf = jnp.zeros((N,), dtype)
+    converged = jnp.zeros((N,), bool)
+    fitted = jnp.zeros((N,), bool)
+    n_dropped = jnp.asarray(0, jnp.int32)
+    buckets = [(small_active, cap_all, Ps)]
+    if P > Ps:
+        cap_big = max(min(N, 256), cap_all // max(cfg.fit_big_frac, 1))
+        buckets.append((big_active, cap_big, P))
+    for mask, cap_b, Pb in buckets:
+        sel = jnp.argsort(~mask, stable=True)[:cap_b]
+        sel_blocks = blocks_flat[sel]
+        sel_sig = _gather_lanes(flat_sig, sel)
+        sel_err = error_model(cfg, sel_sig)
+        inp = FitInputs(
+            y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+            sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+            coeffs=coeffs[sel_blocks],
+            x0=x0[sel_blocks],
+            t_seed=_gather_lanes(seed_t_abs, sel)[:, :Pb]
+            - timeref[sel_blocks][:, None],                            # ref :662
+            a_seed=_gather_lanes(seed_a, sel)[:, :Pb],
+            ped_seed=jnp.mean(sel_sig[:, :cfg.ped_nsamples], axis=1),  # ref :672-676
+            pulse_mask=_gather_lanes(pulse_mask, sel)[:, :Pb],
+            active=_gather_lanes(mask, sel))
+        fres = _fit_chunked(cfg, inp)
+        pf = jnp.concatenate(
+            [fres.params,
+             jnp.zeros((fres.params.shape[0], 2 * (P - Pb)), dtype)], axis=1)
+        infit = jnp.zeros((N,), bool).at[sel].set(True) & mask
+        params = jnp.where(
+            infit[:, None], jnp.zeros((N, M), dtype).at[sel].set(pf), params)
+        chi2_ndf = jnp.where(
+            infit, jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf), chi2_ndf)
+        converged = converged | (
+            jnp.zeros((N,), bool).at[sel].set(fres.converged) & infit)
+        fitted = fitted | infit
+        n_dropped = n_dropped + jnp.maximum(
+            jnp.sum(mask) - cap_b, 0).astype(jnp.int32)
 
     # ---- output-path resolution --------------------------------------
     cortime_b = cortime[blocks_flat]                            # [N]
@@ -220,8 +241,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         enertot = jax.lax.psum(enertot, block_axis)
         integtot = jax.lax.psum(integtot, block_axis)
 
-    n_succ = jnp.sum(fit_active & converged).astype(jnp.int32)
-    n_fail = jnp.sum(fit_active & ~converged).astype(jnp.int32)
+    n_succ = jnp.sum(fitted & converged).astype(jnp.int32)
+    n_fail = jnp.sum(fitted & ~converged).astype(jnp.int32)
     for ax in reduce_axes:
         n_succ = jax.lax.psum(n_succ, ax)
         n_fail = jax.lax.psum(n_fail, ax)

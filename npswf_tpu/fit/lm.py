@@ -123,12 +123,6 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     aux = {"coeffs": inp.coeffs, "x0": inp.x0}
     eye = jnp.eye(M, dtype=dtype)
 
-    def chi2_at(u):
-        p = _to_physical(u, lo, hi, p_seed, param_mask)
-        f, _ = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
-        r = (inp.y - f) * w
-        return jnp.sum(r * r, axis=1), r
-
     def system(u):
         p = _to_physical(u, lo, hi, p_seed, param_mask)
         f, Jp = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
@@ -160,12 +154,23 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     ftol_eff = max(cfg.lm_ftol, 100.0 * eps)
     gtol_eff = max(cfg.lm_gtol, 100.0 * eps)
 
-    chi2_0, _ = chi2_at(u0)
-    # initial carry values are derived from varying inputs so the carry's
-    # manual-axis ("varying") types stay stable under shard_map
-    zero = chi2_0 * 0.0
+    def gcrit_of(A, g, chi2):
+        # MINPACK-style scaled-gradient criterion, independent of lambda:
+        # max_j |g_j| / (||J_j|| * ||r||) <= gtol  => at a (local) minimum.
+        diag = jnp.diagonal(A, axis1=1, axis2=2)
+        dead = diag <= 1e-30
+        denom = jnp.sqrt(jnp.where(dead, 1.0, diag)) * \
+            jnp.sqrt(jnp.maximum(chi2, eps))[:, None]
+        return jnp.max(jnp.where(dead, 0.0, jnp.abs(g)) / denom, axis=1)
+
+    # The normal equations of the CURRENT point ride in the carry, so each
+    # iteration costs exactly one model evaluation (at the trial point):
+    # accept -> the trial's system becomes current; reject -> keep the cache
+    # and only lambda changes.
+    A0, g0, chi2_0 = system(u0)
+    zero = chi2_0 * 0.0  # varying-derived init keeps shard_map types stable
     state = dict(
-        u=u0,
+        u=u0, A=A0, g=g0,
         chi2=jnp.where(active, chi2_0, 0.0),
         lam=zero + lam0,
         done=~active,
@@ -179,22 +184,17 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
         return (s["it"] < max_iter) & ~jnp.all(s["done"])
 
     def body(s):
-        A, g, chi2 = system(s["u"])
-        # MINPACK-style scaled-gradient criterion, independent of lambda:
-        # max_j |g_j| / (||J_j|| * ||r||) <= gtol  => at a (local) minimum.
-        diag = jnp.diagonal(A, axis1=1, axis2=2)
-        dead = diag <= 1e-30
-        denom = jnp.sqrt(jnp.where(dead, 1.0, diag)) * \
-            jnp.sqrt(jnp.maximum(chi2, eps))[:, None]
-        gcrit = jnp.max(jnp.where(dead, 0.0, jnp.abs(g)) / denom, axis=1)
+        gcrit = gcrit_of(s["A"], s["g"], s["chi2"])
         conv_g = gcrit < gtol_eff
 
-        delta = solve_damped(A, g, s["lam"])
+        delta = solve_damped(s["A"], s["g"], s["lam"])
         u_try = s["u"] + delta
-        chi2_try, _ = chi2_at(u_try)
+        A_t, g_t, chi2_try = system(u_try)
         good = jnp.isfinite(chi2_try) & (chi2_try < s["chi2"])
         step = good & ~s["done"] & ~conv_g
         u_new = jnp.where(step[:, None], u_try, s["u"])
+        A_new = jnp.where(step[:, None, None], A_t, s["A"])
+        g_new = jnp.where(step[:, None], g_t, s["g"])
         chi2_new = jnp.where(step, chi2_try, s["chi2"])
         lam_new = jnp.where(step, s["lam"] / cfg.lm_lambda_down,
                             s["lam"] * cfg.lm_lambda_up)
@@ -204,7 +204,7 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
         conv = ~s["done"] & (conv_g | conv_f)
         done_new = s["done"] | conv
         n_iter = jnp.where(s["done"], s["n_iter"], s["n_iter"] + 1)
-        return dict(u=u_new, chi2=chi2_new,
+        return dict(u=u_new, A=A_new, g=g_new, chi2=chi2_new,
                     lam=jnp.where(s["done"], s["lam"], lam_new),
                     done=done_new, conv=s["conv"] | conv, n_iter=n_iter,
                     edm=jnp.where(s["done"], s["edm"], gcrit),

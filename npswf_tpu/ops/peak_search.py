@@ -213,8 +213,13 @@ def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
       present:   [N] bool — pres && preswf gate (ref :139-143, 944).
     """
     T = cfg.ntime
-    mf = matched_filter(cfg, signal[:, None, :], minsignal[:, None],
-                        kern_rev[:, None, :])[:, 0, :]
+    if cfg.use_pallas or cfg.interpret_pallas:
+        from npswf_tpu.ops.pallas_kernels import matched_filter_pallas
+        mf = matched_filter_pallas(cfg, signal, minsignal, kern_rev,
+                                   interpret=cfg.interpret_pallas)
+    else:
+        mf = matched_filter(cfg, signal[:, None, :], minsignal[:, None],
+                            kern_rev[:, None, :])[:, 0, :]
     # The reference stores the filter into a float32-binned TH1F (ref :173-179);
     # quantize identically before the search.
     mf_search = mf.astype(jnp.float32).astype(mf.dtype)

@@ -36,12 +36,24 @@ def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
 
     The gate matches ref TEST_2.C:629: contribute iff
     spline_gate_lo < t < ntime - 1.
+
+    Segment-coefficient selection strategy is cfg.spline_mode:
+      - "gather": one take_along_axis (fast on CPU; slow XLA gathers on TPU)
+      - "onehot": one-hot segment matmul on the MXU — numerically EXACT in
+        fp32 (each row has a single 1.0; products by 1.0 and sums of zeros
+        are exact), so both modes produce identical results.
     """
     nseg = coeffs.shape[-2]
     rel = t - x0[..., None]
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
     u = rel - idx.astype(t.dtype)
-    c4 = jnp.take_along_axis(coeffs, idx[..., None], axis=-2)  # one gather
+    if cfg.spline_mode == "onehot":
+        import jax
+        oh = jax.nn.one_hot(idx, nseg, dtype=t.dtype)               # [..., Q, S]
+        c4 = jnp.einsum("...qs,...sf->...qf", oh, coeffs,
+                        preferred_element_type=t.dtype)             # [..., Q, 4]
+    else:
+        c4 = jnp.take_along_axis(coeffs, idx[..., None], axis=-2)   # one gather
     a, b, c, d = c4[..., 0], c4[..., 1], c4[..., 2], c4[..., 3]
     val = ((d * u + c) * u + b) * u + a
     dval = (3.0 * d * u + 2.0 * c) * u + b

@@ -109,8 +109,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 mesh=None, resume: bool = True,
                 use_native_decode: bool = True,
                 timers: Optional[StageTimer] = None,
-                progress_every: int = 1000) -> RunResult:
-    """Process a full raw segment into a WF output file."""
+                progress_every: int = 1000,
+                profile_dir: Optional[str] = None) -> RunResult:
+    """Process a full raw segment into a WF output file.
+
+    ``profile_dir`` wraps the event loop in a JAX profiler trace
+    (xprof-compatible) — the structured-tracing equivalent of the reference's
+    TStopwatch instrumentation (SURVEY.md section 5).
+    """
     timers = timers or StageTimer()
     t_start = time.perf_counter()
     dtype = np.dtype(cfg.compute_dtype)
@@ -149,6 +155,9 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                  len(ranges) - len(pending))
     fut = pool.submit(decode, pending[0]) if pending else None
     done_events = 0
+    from npswf_tpu.utils.timers import device_trace
+    trace_ctx = device_trace(profile_dir)
+    trace_ctx.__enter__()
     for i, (lo, hi) in enumerate(pending):
         d = fut.result()
         if i + 1 < len(pending):
@@ -168,6 +177,7 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             dt_el = time.perf_counter() - t_start
             log.info(" Entry = %d  elapsed=%.2fs (%.0f ev/s)",
                      lo + n_valid, dt_el, done_events / max(dt_el, 1e-9))
+    trace_ctx.__exit__(None, None, None)
     pool.shutdown()
 
     # ---- ordered merge of parts (the temp->final clone, ref :1396-1432) ----

@@ -65,7 +65,8 @@ def cmd_run(args) -> int:
         mesh = make_mesh(cfg, n_data=args.devices, n_block=args.block_shards)
     res = run_segment(cfg, cal, seg, args.out, batch_size=args.batch_size,
                       mesh=mesh, resume=not args.no_resume,
-                      use_native_decode=not args.no_native)
+                      use_native_decode=not args.no_native,
+                      profile_dir=args.profile)
     print(f"processed {res.n_events} events in {res.wall_time:.2f}s "
           f"({res.events_per_sec:.1f} ev/s, {res.blocks_per_sec:.0f} blocks/s)")
     print(f"Total failed fits: {res.n_fit_failure} "
@@ -143,6 +144,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-native", action="store_true",
                    help="disable the C++ decoder (numpy fallback)")
+    p.add_argument("--profile", default=None,
+                   help="write a JAX profiler trace to this directory")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--x64", action="store_true")
     p.set_defaults(fn=cmd_run)
