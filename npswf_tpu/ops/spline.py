@@ -47,7 +47,9 @@ def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
     rel = t - x0[..., None]
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
     u = rel - idx.astype(t.dtype)
-    if cfg.spline_mode == "onehot":
+    # one-hot materializes [..., Q, S]; only worthwhile for narrow Q
+    # (the small fit bucket) — wide-Q lanes fall back to the gather.
+    if cfg.spline_mode == "onehot" and t.shape[-1] <= 384:
         import jax
         oh = jax.nn.one_hot(idx, nseg, dtype=t.dtype)               # [..., Q, S]
         c4 = jnp.einsum("...qs,...sf->...qf", oh, coeffs,
