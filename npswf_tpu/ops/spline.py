@@ -47,9 +47,15 @@ def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
     rel = t - x0[..., None]
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, nseg - 1)
     u = rel - idx.astype(t.dtype)
+    mode = cfg.spline_mode
+    if mode == "auto":
+        import jax
+        # XLA gathers are fast on CPU, pathologically slow on TPU where the
+        # one-hot segment matmul (measured ~2.3x faster) wins.
+        mode = "gather" if jax.default_backend() == "cpu" else "onehot"
     # one-hot materializes [..., Q, S]; only worthwhile for narrow Q
     # (the small fit bucket) — wide-Q lanes fall back to the gather.
-    if cfg.spline_mode == "onehot" and t.shape[-1] <= 384:
+    if mode == "onehot" and t.shape[-1] <= 384:
         import jax
         oh = jax.nn.one_hot(idx, nseg, dtype=t.dtype)               # [..., Q, S]
         c4 = jnp.einsum("...qs,...sf->...qf", oh, coeffs,
