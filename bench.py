@@ -62,13 +62,13 @@ def main() -> int:
           f"fit success: {int(out.n_fit_success)}, "
           f"failure: {int(out.n_fit_failure)}", file=sys.stderr)
 
-    # warmup then timed iterations
-    jax.block_until_ready(pipeline(batch))
+    # warmup then timed iterations (forcing a host transfer each call so the
+    # measurement cannot be fooled by async dispatch)
+    _ = np.asarray(pipeline(batch).chi2)
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pipeline(batch)
-    jax.block_until_ready(out)
+        _ = np.asarray(pipeline(batch).chi2)
     dt = (time.perf_counter() - t0) / iters
     blocks_per_sec = E * cfg.nblocks / dt
     print(f"steady-state: {dt * 1e3:.1f} ms/batch of {E} events "

@@ -118,6 +118,8 @@ class WFWriter:
         self._append("corr_time_HMS", np.asarray(decoded.corr_time_HMS)[:n])
         self._append("Sampampl", np.asarray(decoded.sampampl)[:n])
         self._append("Samptime", np.asarray(decoded.samptime)[:n])
+        self._append("Sampener", np.asarray(decoded.sampener)[:n])
+        self._append("Sampped", np.asarray(decoded.sampped)[:n])
         self._append("evt", np.asarray(decoded.evt)[:n])
         self._append("runnum", np.asarray(decoded.runnum)[:n])
         self.n_fit_success += int(out.n_fit_success)

@@ -59,6 +59,9 @@ def cmd_run(args) -> int:
         cfg = cfg.replace(fit_capacity=args.fit_capacity)
     cal = _load_calibration(cfg, args)
     seg = read_segment(args.input)
+    if args.range:
+        lo, hi = args.range
+        seg = seg.slice(lo, min(hi, seg.n_events))
     mesh = None
     if args.devices > 1 or args.block_shards > 1:
         from npswf_tpu.parallel.mesh import make_mesh
@@ -141,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--block-shards", type=int, default=1)
     p.add_argument("--fit-capacity", type=int, default=0)
+    p.add_argument("--range", type=int, nargs=2, metavar=("LO", "HI"),
+                   help="process only events [LO, HI) of the segment "
+                        "(the reference's df.Range subset mode)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-native", action="store_true",
                    help="disable the C++ decoder (numpy fallback)")
