@@ -86,7 +86,7 @@ class NPSConfig:
     fit_big_frac: int = 8            # capacity of the wide bucket = cap/this
     spline_mode: str = "auto"        # segment select: "auto" | "gather" |
                                      # "onehot" (MXU); auto = onehot off-CPU
-    use_pallas: bool = False         # enable Pallas kernels on TPU
+    use_pallas: bool = True          # Pallas kernels (auto-disabled on CPU)
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 
     # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----

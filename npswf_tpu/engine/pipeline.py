@@ -80,7 +80,7 @@ def _gather_lanes(arr, sel):
     return jnp.take(arr, sel, axis=0)
 
 
-def _fit_chunked(cfg: NPSConfig, inp: FitInputs):
+def _fit_chunked(cfg: NPSConfig, inp: FitInputs, model_name: str = "spline_ref"):
     """Run the LM fit in fixed-size sub-batches via ``lax.map``.
 
     Chunking bounds the compiled kernel sizes (very large fused fit bodies
@@ -90,7 +90,7 @@ def _fit_chunked(cfg: NPSConfig, inp: FitInputs):
     n = inp.y.shape[0]
     chunk = cfg.fit_chunk if cfg.fit_chunk > 0 else n
     if n <= chunk:
-        return fit_waveforms(cfg, inp)
+        return fit_waveforms(cfg, inp, model_name)
     nc = -(-n // chunk)
     pad = nc * chunk - n
 
@@ -101,7 +101,7 @@ def _fit_chunked(cfg: NPSConfig, inp: FitInputs):
     padded = FitInputs(*[pad0(v, 1 if name == "sigma" else 0)
                          for name, v in zip(FitInputs._fields, inp)])
     chunked = FitInputs(*[v.reshape((nc, chunk) + v.shape[1:]) for v in padded])
-    res = jax.lax.map(lambda c: fit_waveforms(cfg, c), chunked)
+    res = jax.lax.map(lambda c: fit_waveforms(cfg, c, model_name), chunked)
     return jax.tree.map(lambda v: v.reshape((nc * chunk,) + v.shape[2:])[:n], res)
 
 
@@ -186,7 +186,12 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             ped_seed=jnp.mean(sel_sig[:, :cfg.ped_nsamples], axis=1),  # ref :672-676
             pulse_mask=_gather_lanes(pulse_mask, sel)[:, :Pb],
             active=_gather_lanes(mask, sel))
-        fres = _fit_chunked(cfg, inp)
+        # the fused Pallas evaluator covers the narrow bucket (small static P)
+        from npswf_tpu.ops.pallas_kernels import pallas_enabled
+        model_name = "spline_ref_pallas" if (
+            pallas_enabled(cfg) and Pb <= cfg.fit_small_pulses
+        ) else "spline_ref"
+        fres = _fit_chunked(cfg, inp, model_name)
         pf = jnp.concatenate(
             [fres.params,
              jnp.zeros((fres.params.shape[0], 2 * (P - Pb)), dtype)], axis=1)

@@ -120,7 +120,7 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     N, M = u0.shape
     xgrid = jnp.arange(cfg.fit_lo_bin, cfg.fit_hi_bin, dtype=dtype)
     w = 1.0 / inp.sigma                                   # [N, K]
-    aux = {"coeffs": inp.coeffs, "x0": inp.x0}
+    aux = model.prepare_aux(cfg, {"coeffs": inp.coeffs, "x0": inp.x0})
     eye = jnp.eye(M, dtype=dtype)
 
     def system(u):

@@ -1,0 +1,147 @@
+"""Pallas fused waveform-model evaluation for the LM fit.
+
+The per-iteration cost of the batched fit is dominated by evaluating the
+spline reference model and its Jacobian over (lane, pulse, fit-bin). The
+XLA paths select spline segment coefficients by gather or one-hot matmul;
+this kernel removes segment selection entirely by exploiting two structural
+facts of the problem:
+
+1. the fit grid is integer bins (x = 10..99, ref TEST_2.C:681-688), so for a
+   pulse at time t the fractional position u = ceil(t) - t is CONSTANT across
+   all 90 bins, and the needed segments form a contiguous window;
+2. evaluating the cubic polynomial at a constant u over ALL (padded) segments
+   is a pure elementwise op over a [lanes, 256] VMEM tile; the contiguous
+   window is then extracted with a barrel shifter — 8 static pltpu.roll
+   stages with per-lane bit selects.
+
+Per tile the kernel reads the lane's padded coefficient planes once and
+writes f(x) and the per-pulse value/derivative windows; no gathers, no
+one-hot materialization. Numerically this computes the same piecewise cubic
+as ops.spline.spline_eval_grad (same coefficients, same Horner form, same
+support gate, ref :621-635).
+
+Coefficient layout: [N, 4, 256] with the 109 real segments at slots
+[PAD, PAD+109) and zeros elsewhere (see ``pad_coeffs``); biased window
+offset = fit_lo_bin - ceil(t + x0) + PAD, always in [0, 256) for gated bins,
+and circular wrap from the roll only ever lands on gated-out bins.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from npswf_tpu.core.config import NPSConfig
+
+PAD = 64         # left padding (segments -64..-1)
+SEG = 256        # padded segment-plane width
+KP = 128         # padded fit-bin width (>= nfitbins)
+LANE_TILE = 512
+
+
+def pad_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """[N, S, 4] -> [N, 4, 256] padded coefficient planes."""
+    N, S, _ = coeffs.shape
+    planes = jnp.transpose(coeffs, (0, 2, 1))           # [N, 4, S]
+    return jnp.pad(planes, ((0, 0), (0, 0), (PAD, SEG - PAD - S)))
+
+
+def _kernel(cfg: NPSConfig, P: int, coef_ref, tau_ref, x0_ref, amp_ref,
+            ped_ref, act_ref, f_ref, jt_ref, ja_ref):
+    L = coef_ref.shape[0]
+    dtype = coef_ref.dtype
+    # Mosaic iota must be integer-typed; cast afterwards
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (L, KP), 1).astype(dtype)
+    xk = k_iota + cfg.fit_lo_bin
+    kvalid = k_iota < cfg.nfitbins
+    f = jnp.broadcast_to(ped_ref[:, :], (L, KP)).astype(dtype)
+    a = coef_ref[:, 0, :]
+    b = coef_ref[:, 1, :]
+    c = coef_ref[:, 2, :]
+    d = coef_ref[:, 3, :]
+    for p in range(P):
+        t_par = tau_ref[:, p:p + 1]                     # [L, 1] time parameter
+        tau = t_par + x0_ref[:, :]                      # absolute spline frame
+        amp = amp_ref[:, p:p + 1]
+        actp = act_ref[:, p:p + 1].astype(dtype)
+        ceil_t = jnp.ceil(tau)
+        u = ceil_t - tau                                # constant fraction
+        sval = ((d * u + c) * u + b) * u + a            # [L, SEG]
+        sder = (3.0 * d * u + 2.0 * c) * u + b
+        off = (jnp.asarray(cfg.fit_lo_bin + PAD, jnp.int32)
+               - ceil_t[:, 0].astype(jnp.int32))        # [L]
+        off = jnp.clip(off, 0, SEG - 1)
+        for bit in range(8):                            # barrel shift left
+            # left-shift by step == circular roll by SEG - step (pltpu.roll
+            # requires non-negative shifts)
+            step = SEG - (1 << bit)
+            m = (((off >> bit) & 1) > 0)[:, None]
+            sval = jnp.where(m, pltpu.roll(sval, step, axis=1), sval)
+            sder = jnp.where(m, pltpu.roll(sder, step, axis=1), sder)
+        # model support gate on x - t (ref :629), plus fit-bin validity
+        rel = xk - t_par
+        gate = (rel > cfg.spline_gate_lo) & (rel < cfg.ntime - 1) & kvalid
+        val = jnp.where(gate, sval[:, :KP], 0.0) * actp
+        der = jnp.where(gate, sder[:, :KP], 0.0) * actp
+        f = f + amp * val
+        jt_ref[:, p, :] = -amp * der
+        ja_ref[:, p, :] = val
+    f_ref[:, :] = jnp.where(kvalid, f, 0.0)
+
+
+def fused_eval(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
+               t_par: jnp.ndarray, a_par: jnp.ndarray, ped: jnp.ndarray,
+               pulse_mask: jnp.ndarray, interpret: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched model + window Jacobians.
+
+    Args: coeffs_pad [N,4,SEG], x0 [N], t_par/a_par/pulse_mask [N,P], ped [N].
+    Returns (f [N,K], Jt [N,P,K], Ja [N,P,K]) with K = cfg.nfitbins.
+    """
+    N, P = t_par.shape
+    K = cfg.nfitbins
+    dtype = coeffs_pad.dtype
+    tile = min(LANE_TILE, N)
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    if Np != N:
+        pad = Np - N
+        coeffs_pad = jnp.pad(coeffs_pad, ((0, pad), (0, 0), (0, 0)))
+        x0 = jnp.pad(x0, (0, pad))
+        t_par = jnp.pad(t_par, ((0, pad), (0, 0)))
+        a_par = jnp.pad(a_par, ((0, pad), (0, 0)))
+        ped = jnp.pad(ped, (0, pad))
+        pulse_mask = jnp.pad(pulse_mask, ((0, pad), (0, 0)))
+
+    f, jt, ja = pl.pallas_call(
+        functools.partial(_kernel, cfg, P),
+        out_shape=(
+            jax.ShapeDtypeStruct((Np, KP), dtype),
+            jax.ShapeDtypeStruct((Np, P, KP), dtype),
+            jax.ShapeDtypeStruct((Np, P, KP), dtype),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 4, SEG), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P, KP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P, KP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(coeffs_pad, t_par, x0[:, None], a_par, ped[:, None],
+      pulse_mask.astype(dtype))
+    return f[:N, :K], jt[:N, :, :K], ja[:N, :, :K]

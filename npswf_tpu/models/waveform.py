@@ -28,6 +28,12 @@ class WaveformModel:
 
     name: str = "base"
 
+    def prepare_aux(self, cfg: NPSConfig,
+                    aux: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """One-time per-solve transformation of the aux tensors (e.g.
+        coefficient-plane padding); called outside the LM loop."""
+        return aux
+
     def eval_and_jac(self, cfg: NPSConfig, params: jnp.ndarray,
                      aux: Dict[str, jnp.ndarray], xgrid: jnp.ndarray,
                      pulse_mask: jnp.ndarray
@@ -69,6 +75,39 @@ class SplineRefModel(WaveformModel):
         return f, J
 
 
+class PallasSplineRefModel(WaveformModel):
+    """Same model as SplineRefModel, evaluated by the fused Pallas kernel
+    (fit/pallas_eval.py): constant-fraction segment-plane evaluation +
+    barrel-shifter window extraction — no gathers, no one-hot matmuls.
+    Assumes the fit grid xgrid == [fit_lo_bin, fit_hi_bin) (the only grid the
+    pipeline uses, ref TEST_2.C:681)."""
+
+    name = "spline_ref_pallas"
+
+    def prepare_aux(self, cfg, aux):
+        from npswf_tpu.fit.pallas_eval import pad_coeffs
+        out = dict(aux)
+        out["coeffs_pad"] = pad_coeffs(aux["coeffs"])
+        return out
+
+    def eval_and_jac(self, cfg, params, aux, xgrid, pulse_mask):
+        from npswf_tpu.fit.pallas_eval import fused_eval, pad_coeffs
+        N, M = params.shape
+        P = (M - 1) // 2
+        K = xgrid.shape[0]
+        coeffs_pad = aux.get("coeffs_pad")
+        if coeffs_pad is None:
+            coeffs_pad = pad_coeffs(aux["coeffs"])
+        f, jt, ja = fused_eval(
+            cfg, coeffs_pad, aux["x0"], params[:, 1::2], params[:, 2::2],
+            params[:, 0], pulse_mask, interpret=cfg.interpret_pallas)
+        inter = jnp.stack([jt, ja], axis=-1)            # [N, P, K, 2]
+        inter = inter.transpose(0, 2, 1, 3).reshape(N, K, 2 * P)
+        J = jnp.concatenate(
+            [jnp.ones((N, K, 1), params.dtype), inter], axis=-1)
+        return f, J
+
+
 _REGISTRY: Dict[str, WaveformModel] = {}
 
 
@@ -82,3 +121,4 @@ def get_model(name: str) -> WaveformModel:
 
 
 register_model(SplineRefModel())
+register_model(PallasSplineRefModel())

@@ -24,6 +24,17 @@ from npswf_tpu.core.config import NPSConfig
 LANE_TILE = 256
 
 
+def pallas_enabled(cfg) -> bool:
+    """Pallas kernels are used when requested and compilable: always in
+    interpreter mode, otherwise only off-CPU (Mosaic targets TPU)."""
+    if cfg.interpret_pallas:
+        return True
+    if not cfg.use_pallas:
+        return False
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref, out_ref):
     T, W, L = cfg.ntime, cfg.mfwidth, cfg.mfleft
     lo, hi = L, T - cfg.mfright
@@ -35,9 +46,10 @@ def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref, out_ref):
         acc = acc + delta[:, jt:jt + n] * kern_ref[:, jt:jt + 1]
     mfmin = jnp.min(acc, axis=1, keepdims=True)
     acc = acc - mfmin
-    out = jnp.zeros((sig.shape[0], n_pad), sig.dtype)
-    out = jax.lax.dynamic_update_slice(out, acc, (0, lo))
-    out_ref[:, :] = out
+    # zero the window borders via static-slice stores (dynamic_update_slice
+    # is not lowerable in compiled Mosaic)
+    out_ref[:, :] = jnp.zeros((sig.shape[0], n_pad), sig.dtype)
+    out_ref[:, lo:lo + n] = acc
 
 
 def matched_filter_pallas(cfg: NPSConfig, signal: jnp.ndarray,

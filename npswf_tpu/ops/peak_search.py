@@ -213,7 +213,8 @@ def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
       present:   [N] bool — pres && preswf gate (ref :139-143, 944).
     """
     T = cfg.ntime
-    if cfg.use_pallas or cfg.interpret_pallas:
+    from npswf_tpu.ops.pallas_kernels import pallas_enabled
+    if pallas_enabled(cfg):
         from npswf_tpu.ops.pallas_kernels import matched_filter_pallas
         mf = matched_filter_pallas(cfg, signal, minsignal, kern_rev,
                                    interpret=cfg.interpret_pallas)

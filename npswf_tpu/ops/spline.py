@@ -58,7 +58,12 @@ def spline_eval_grad(cfg: NPSConfig, coeffs: jnp.ndarray, x0: jnp.ndarray,
     if mode == "onehot" and t.shape[-1] <= 384:
         import jax
         oh = jax.nn.one_hot(idx, nseg, dtype=t.dtype)               # [..., Q, S]
+        # HIGHEST precision is required for exactness: the default TPU matmul
+        # precision would round the coefficients to bf16 (measured 1.6e-2
+        # error); at HIGHEST the result is bit-equal to the gather at the
+        # same speed.
         c4 = jnp.einsum("...qs,...sf->...qf", oh, coeffs,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=t.dtype)             # [..., Q, 4]
     else:
         c4 = jnp.take_along_axis(coeffs, idx[..., None], axis=-2)   # one gather

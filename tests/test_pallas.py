@@ -34,3 +34,53 @@ def test_find_pulses_same_under_pallas(cfg, cal):
     np.testing.assert_array_equal(np.asarray(a.npulse), np.asarray(b.npulse))
     np.testing.assert_allclose(np.asarray(a.times), np.asarray(b.times),
                                atol=1e-9)
+
+
+def test_pallas_fused_fit_eval_matches_model(cfg, cal):
+    """The fused Pallas fit evaluator reproduces SplineRefModel exactly
+    (fp64 interpreter mode)."""
+    import jax.numpy as jnp
+    from npswf_tpu.models.waveform import get_model
+    rng = np.random.default_rng(0)
+    N, P = 96, 2
+    icfg = cfg.replace(interpret_pallas=True)
+    blocks = rng.integers(0, cfg.nblocks, N)
+    params = np.zeros((N, 1 + 2 * P))
+    params[:, 0] = rng.uniform(-5, 5, N)
+    params[:, 1::2] = rng.uniform(-60, 70, (N, P))
+    params[:, 2::2] = rng.uniform(10, 200, (N, P))
+    pm = rng.random((N, P)) < 0.8
+    aux = {"coeffs": jnp.asarray(cal.spline_coeffs[blocks]),
+           "x0": jnp.asarray(cal.spline_x0[blocks])}
+    xgrid = jnp.arange(cfg.fit_lo_bin, cfg.fit_hi_bin, dtype=jnp.float64)
+    ref_m = get_model("spline_ref")
+    pal_m = get_model("spline_ref_pallas")
+    f1, J1 = ref_m.eval_and_jac(icfg, jnp.asarray(params), aux, xgrid,
+                                jnp.asarray(pm))
+    f2, J2 = pal_m.eval_and_jac(icfg, jnp.asarray(params),
+                                pal_m.prepare_aux(icfg, aux), xgrid,
+                                jnp.asarray(pm))
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-12, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(J2), np.asarray(J1),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_fit_waveforms_pallas_model(cfg, cal):
+    """End-to-end fit through the fused Pallas evaluator converges to the
+    same minima as the XLA model."""
+    import jax.numpy as jnp
+    from tests.test_fit import _build_inputs
+    from npswf_tpu.fit.lm import fit_waveforms
+    icfg = cfg.replace(interpret_pallas=True)
+    inp, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=16, seed=8)
+    # fused kernel supports small P; narrow the inputs to 2 pulse slots
+    inp = inp._replace(t_seed=inp.t_seed[:, :2], a_seed=inp.a_seed[:, :2],
+                       pulse_mask=inp.pulse_mask[:, :2])
+    r1 = fit_waveforms(cfg, inp, "spline_ref")
+    r2 = fit_waveforms(icfg, inp, "spline_ref_pallas")
+    np.testing.assert_array_equal(np.asarray(r1.converged),
+                                  np.asarray(r2.converged))
+    c = np.asarray(r1.converged)
+    np.testing.assert_allclose(np.asarray(r2.params)[c], np.asarray(r1.params)[c],
+                               rtol=1e-7, atol=1e-7)
