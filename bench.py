@@ -74,6 +74,21 @@ def main() -> int:
     print(f"steady-state: {dt * 1e3:.1f} ms/batch of {E} events "
           f"({E / dt:.1f} ev/s)", file=sys.stderr)
 
+    # production-shape diagnostic (stderr only): realistic sparse occupancy
+    truth_s = make_events(cfg, cal, E, occupancy=0.05, max_pulses=2, seed=8)
+    batch_s = EventBatch(
+        signal=jnp.asarray(truth_s.signal.astype(np.float32)),
+        pres=jnp.asarray(truth_s.pres.astype(bool)),
+        corr_time_HMS=batch.corr_time_HMS, evt=batch.evt, runnum=batch.runnum)
+    _ = np.asarray(pipeline(batch_s).chi2)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _ = np.asarray(pipeline(batch_s).chi2)
+    dts = (time.perf_counter() - t0) / iters
+    print(f"sparse (occupancy 0.05): {dts * 1e3:.1f} ms/batch "
+          f"({E / dts:.1f} ev/s, {E * cfg.nblocks / dts:.0f} blocks scanned/s)",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "blocks fitted/sec/chip (full event, 1080 blocks)",
         "value": round(blocks_per_sec, 1),

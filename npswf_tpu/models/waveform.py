@@ -108,6 +108,36 @@ class PallasSplineRefModel(WaveformModel):
         return f, J
 
 
+class GaussianPulseModel(WaveformModel):
+    """Alternative pulse family: pedestal + sum of Gaussians of fixed width.
+
+    Demonstrates the pluggable-model contract (the reference supports only
+    the spline template; users wanting a different shape had to edit the TF1
+    lambda, ref TEST_2.C:621-635). ``aux['width']`` [N] sets the per-lane
+    sigma (bins)."""
+
+    name = "gaussian"
+
+    def eval_and_jac(self, cfg, params, aux, xgrid, pulse_mask):
+        N, M = params.shape
+        P = (M - 1) // 2
+        w = aux["width"][:, None, None]                 # [N,1,1]
+        ped = params[:, 0]
+        tpar = params[:, 1::2][:, :, None]              # [N,P,1]
+        apar = params[:, 2::2][:, :, None]
+        act = pulse_mask[:, :, None].astype(params.dtype)
+        z = (xgrid[None, None, :] - tpar) / w           # [N,P,K]
+        val = jnp.exp(-0.5 * z * z)
+        dval = val * z / w                              # d/dt exp(-(x-t)^2/2w^2)
+        f = ped[:, None] + jnp.sum(act * apar * val, axis=1)
+        Jt = (act * apar * dval).transpose(0, 2, 1)
+        Ja = (act * val).transpose(0, 2, 1)
+        inter = jnp.stack([Jt, Ja], axis=-1).reshape(N, xgrid.shape[0], 2 * P)
+        J = jnp.concatenate(
+            [jnp.ones((N, xgrid.shape[0], 1), params.dtype), inter], axis=-1)
+        return f, J
+
+
 _REGISTRY: Dict[str, WaveformModel] = {}
 
 
@@ -122,3 +152,4 @@ def get_model(name: str) -> WaveformModel:
 
 register_model(SplineRefModel())
 register_model(PallasSplineRefModel())
+register_model(GaussianPulseModel())

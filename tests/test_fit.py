@@ -171,3 +171,52 @@ def test_fp32_matches_fp64(cfg, cal):
     assert c.mean() > 0.9
     dt = np.abs(np.asarray(r32.params)[c, 1] - np.asarray(r64.params)[c, 1])
     assert np.quantile(dt, 0.9) < 0.05, dt  # < 0.05 bins across precisions
+
+
+def test_gaussian_model_family(cfg, cal):
+    """The pluggable model family: a Gaussian-pulse fit recovers its truth."""
+    import jax.numpy as jnp
+    from npswf_tpu.fit.lm import FitInputs, fit_waveforms, lm_solve, _bounds, \
+        _seed_params, _to_internal
+    from npswf_tpu.models.waveform import get_model
+    from npswf_tpu.fit.errors import error_model
+    rng = np.random.default_rng(31)
+    N, P = 24, 1
+    T = cfg.ntime
+    width = rng.uniform(3.0, 5.0, N)
+    t_true = rng.uniform(40, 60, N)
+    a_true = rng.uniform(50, 150, N)
+    x = np.arange(T, dtype=np.float64)
+    sig = rng.uniform(-3, 3, (N, 1)) + 0.3 * rng.standard_normal((N, T))
+    sig += a_true[:, None] * np.exp(-0.5 * ((x[None] - t_true[:, None])
+                                            / width[:, None]) ** 2)
+    y = sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin]
+    inp = FitInputs(
+        y=jnp.asarray(y), sigma=error_model(cfg, jnp.asarray(y)),
+        coeffs=jnp.zeros((N, T - 1, 4)), x0=jnp.zeros(N),
+        t_seed=jnp.asarray(t_true[:, None] + rng.uniform(-2, 2, (N, 1))),
+        a_seed=jnp.asarray(a_true[:, None] * rng.uniform(0.7, 1.4, (N, 1))),
+        ped_seed=jnp.asarray(sig[:, :cfg.ped_nsamples].mean(1)),
+        pulse_mask=jnp.ones((N, P), bool), active=jnp.ones(N, bool))
+    model = get_model("gaussian")
+    lo, hi = _bounds(cfg, inp)
+    p_seed = _seed_params(cfg, inp)
+    pm = jnp.concatenate([jnp.ones((N, 1), bool),
+                          jnp.repeat(inp.pulse_mask, 2, axis=1)], axis=1)
+    u0 = _to_internal(p_seed, lo, hi, pm)
+    # note: gaussian model reads aux["width"]; lm_solve builds aux from
+    # coeffs/x0, so call with a model wrapper carrying the width
+    class _M(type(model)):
+        def prepare_aux(self, cfg_, aux):
+            aux = dict(aux)
+            aux["width"] = jnp.asarray(width)
+            return aux
+    u, chi2, conv, n_iter, edm = lm_solve(
+        cfg, _M(), inp, u0, lo, hi, p_seed, pm, inp.active,
+        cfg.lm_max_iter_stage1, cfg.lm_lambda_init)
+    convn = np.asarray(conv)
+    assert convn.mean() > 0.9
+    from npswf_tpu.fit.lm import _to_physical
+    pphys = np.asarray(_to_physical(u, lo, hi, p_seed, pm))
+    dt = np.abs(pphys[convn, 1] - t_true[convn])
+    assert np.median(dt) < 0.05
