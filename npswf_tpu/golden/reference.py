@@ -388,3 +388,51 @@ def hms_correction_golden(cfg: NPSConfig, tdcoffset: np.ndarray,
                 sampener[c] = pulse_int[i]
                 sampped[c] = pulse_ped[i]
     return corr, sampampl, samptime, sampener, sampped, npulse
+
+
+# ----------------------------------------------------------------------
+# Derived diagnostics (ref TEST_2.C:1026-1112)
+# ----------------------------------------------------------------------
+def diagnostics_golden(cfg: NPSConfig, signal: np.ndarray):
+    """Scalar port of the post-fit diagnostics loop for one event.
+
+    signal [nblocks, ntime]; returns dict of per-block arrays + totals,
+    mirroring the reference's exact accumulation order (ener subtracts the
+    bkg SUM scaled by window ratio before bkg becomes the mean, :1061-1063;
+    widths use the overwrite-scan semantics, :1083-1107).
+    """
+    B, T = signal.shape
+    binmin, binmax = 30, 109
+    ener = np.zeros(B)
+    integ = np.zeros(B)
+    bkg = np.zeros(B)
+    noise = np.zeros(B)
+    sigmax = np.full(B, -100.0)
+    tmax = np.zeros(B)
+    ampl = np.full(B, -100.0)
+    enertot = 0.0
+    integtot = 0.0
+    nwin = binmax - binmin - 1
+    for i in range(B):
+        for it in range(T):
+            v = signal[i, it]
+            integ[i] += v
+            integtot += v
+            if binmin < it < binmax:
+                ener[i] += v
+                enertot += v
+            else:
+                bkg[i] += v
+            if v > sigmax[i]:
+                tmax[i] = it
+                sigmax[i] = v
+                ampl[i] = v
+        ener[i] -= bkg[i] * nwin / (T - nwin)
+        bkg[i] = bkg[i] / (T - nwin)
+        for it in range(T):
+            if not (binmin < it < binmax):
+                noise[i] += (signal[i, it] - bkg[i]) ** 2 / (T - nwin)
+        noise[i] = math.sqrt(noise[i])
+    return {"ener": ener, "integ": integ, "bkg": bkg, "noise": noise,
+            "sigmax": sigmax, "time": tmax, "ampl": ampl,
+            "enertot": enertot, "integtot": integtot}

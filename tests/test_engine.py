@@ -129,3 +129,49 @@ def test_pipeline_jit_consistency(cfg, cal):
         np.testing.assert_allclose(np.asarray(getattr(jitted, name)),
                                    np.asarray(getattr(eager, name)),
                                    rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_diagnostics_match_golden(cfg, cal):
+    from npswf_tpu.engine.diagnostics import block_diagnostics
+    from npswf_tpu.golden.reference import diagnostics_golden
+    truth = make_events(cfg, cal, 1, occupancy=0.05, seed=19)
+    d = block_diagnostics(cfg, jnp.asarray(truth.signal))
+    g = diagnostics_golden(cfg, truth.signal[0])
+    for k in ("ener", "integ", "bkg", "noise", "sigmax", "ampl", "time"):
+        np.testing.assert_allclose(np.asarray(d[k])[0], g[k], rtol=1e-10,
+                                   atol=1e-10, err_msg=k)
+    np.testing.assert_allclose(float(d["enertot"][0]), g["enertot"], rtol=1e-10)
+    np.testing.assert_allclose(float(d["integtot"][0]), g["integtot"], rtol=1e-10)
+
+
+def test_executor_with_mesh(cfg, cal, tmp_path):
+    """The executor's sharded path produces the same WF file as single-device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from npswf_tpu.io.rawstream import build_segment, encode_event_stream
+    from npswf_tpu.runtime.executor import run_segment
+    from npswf_tpu.parallel.mesh import make_mesh
+    from npswf_tpu.io.writer import read_wf
+    rng = np.random.default_rng(3)
+    E = 8
+    truth = make_events(cfg, cal, E, occupancy=0.04, seed=23)
+    streams = [encode_event_stream(cfg, truth.signal[e],
+                                   truth.pres[e].astype(bool))
+               for e in range(E)]
+    hits = [{k: np.zeros(0) for k in
+             ("adc_counter", "pulse_time", "pulse_time_raw",
+              "pulse_amp", "pulse_int", "pulse_ped")} for _ in range(E)]
+    seg = build_segment(cfg, streams, hits,
+                        evt=np.arange(1, E + 1, dtype=np.float64),
+                        runnum=np.full(E, 3000.0))
+    out1 = str(tmp_path / "wf1.npz")
+    out2 = str(tmp_path / "wf2.npz")
+    run_segment(cfg, cal, seg, out1, batch_size=8)
+    mesh = make_mesh(cfg, n_data=4, n_block=2)
+    run_segment(cfg, cal, seg, out2, batch_size=8, mesh=mesh)
+    a, b = read_wf(out1), read_wf(out2)
+    np.testing.assert_array_equal(a["wfnpulse"], b["wfnpulse"])
+    np.testing.assert_allclose(a["chi2"], b["chi2"], rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(a["wftime_flat"], b["wftime_flat"],
+                               rtol=1e-8, atol=1e-8)
