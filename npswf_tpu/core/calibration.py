@@ -283,6 +283,17 @@ def load_calibration(cfg: NPSConfig, manifest: EpochManifest, run: int) -> Calib
                 continue
             xs = data[1:T + 1, 0]
             ys = data[1:T + 1, 1]
+            # The device spline evaluators assume unit knot spacing
+            # (idx = floor(t - x0)); a file with a different time axis would
+            # silently select wrong segments and mis-scale timeref, so reject
+            # it here (the reference handles arbitrary x via
+            # ROOT::Math::Interpolator, TEST_2.C:612-619 — resample to a unit
+            # grid before feeding such a file to this framework).
+            if not np.allclose(np.diff(xs), 1.0, rtol=0, atol=1e-9):
+                raise ValueError(
+                    f"reference waveform {p}: non-unit knot spacing "
+                    f"(dx range [{np.diff(xs).min()}, {np.diff(xs).max()}]); "
+                    "resample to a unit time grid")
             interp_x[b] = xs
             interp_y[b] = ys
             tr, kr, mi, co = _derive_block(cfg, xs, ys)

@@ -76,6 +76,14 @@ class NPSConfig:
                               # bar, converges lanes ~2x sooner and lowers the
                               # failure rate into the reference's 1-2% band)
 
+    # ---- waveform model family (the reference hardcodes the spline model
+    #      in its fit lambda, ref TEST_2.C:621-635; here it is pluggable) ----
+    model_name: str = "spline_ref"   # registry name (npswf_tpu.models)
+    # static per-model aux scalars, broadcast to every fit lane (e.g.
+    # (("width", 4.0),) for the gaussian family); tuple-of-pairs so the
+    # frozen config stays hashable for the jit cache
+    model_aux: Tuple[Tuple[str, float], ...] = ()
+
     # ---- framework knobs (no reference equivalent) ----
     compute_dtype: str = "float32"   # on-device compute dtype
     solver_dtype: str = "float32"    # LM linear-algebra dtype
@@ -94,6 +102,17 @@ class NPSConfig:
     mesh_block_axis: str = "block"   # calorimeter-row sharding axis (halo exchange)
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        # The reference's correlation reads signal[it + jt - mfright] over the
+        # window [mfleft, ntime - mfright) (ref TEST_2.C:156-158): any
+        # asymmetric mfleft/mfright makes it index out of bounds (UB in the
+        # C++), so there is no well-defined behavior to reproduce — reject it.
+        if self.mfleft != self.mfright:
+            raise ValueError(
+                f"mfleft ({self.mfleft}) must equal mfright ({self.mfright}): "
+                "the reference's filter window reads out of bounds otherwise "
+                "(TEST_2.C:156-158)")
+
     @property
     def nblocks(self) -> int:
         return self.ncol * self.nlin
@@ -135,7 +154,10 @@ class NPSConfig:
 
     @classmethod
     def from_json(cls, s: str) -> "NPSConfig":
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        if "model_aux" in d:  # JSON lists -> hashable tuples
+            d["model_aux"] = tuple((k, v) for k, v in d["model_aux"])
+        return cls(**d)
 
 
 def calodist_for_run(run: int) -> float:

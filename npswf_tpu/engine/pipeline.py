@@ -48,6 +48,10 @@ class EventBatch(NamedTuple):
     corr_time_HMS: jnp.ndarray   # [E] HMS timing correction (host-side, ref :893-911)
     evt: jnp.ndarray             # [E] global event numbers
     runnum: jnp.ndarray          # [E] run numbers
+    # [E, B] per-block baseline from the DECODER (min over the nsamp samples
+    # actually read, ref :884) — None only for dense synthetic batches where
+    # every block carries exactly ntime samples and min-over-T is identical
+    minsignal: Optional[jnp.ndarray] = None
 
 
 class PipelineOutput(NamedTuple):
@@ -59,6 +63,9 @@ class PipelineOutput(NamedTuple):
     chi2: jnp.ndarray            # [E, B] chi2/ndf or -100
     timewf: jnp.ndarray          # [E, B] closest-to-zero pulse time (or -100)
     amplwf: jnp.ndarray          # [E, B] its amplitude (or -100)
+    pedwf: jnp.ndarray           # [E, B] fitted pedestal p0 (seed value on
+                                 # unfitted lanes) — persisted so diagnostics
+                                 # can replay the exact fitted curve
     gate: jnp.ndarray            # [E, B] bool — cluster gate decision
     fit_converged: jnp.ndarray   # [E, B] bool
     h1time: jnp.ndarray          # [E, B, P] h1 entries (valid via h_mask)
@@ -74,6 +81,9 @@ class PipelineOutput(NamedTuple):
     n_fit_success: jnp.ndarray   # [] i32 — batch totals (ref atomics :61-62)
     n_fit_failure: jnp.ndarray   # [] i32
     n_fit_dropped: jnp.ndarray   # [] i32 — lanes beyond fit_capacity (no silent cap)
+    n_high_pulse: jnp.ndarray    # [] i32 — lanes with npulse > maxwfpulses-2
+                                 # (the reference's excessive-pulse warning,
+                                 # ref TEST_2.C:209-213)
 
 
 def _gather_lanes(arr, sel):
@@ -95,12 +105,15 @@ def _fit_chunked(cfg: NPSConfig, inp: FitInputs, model_name: str = "spline_ref")
     pad = nc * chunk - n
 
     def pad0(x, value=0):
+        if x is None:
+            return None
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=value)
 
     padded = FitInputs(*[pad0(v, 1 if name == "sigma" else 0)
                          for name, v in zip(FitInputs._fields, inp)])
-    chunked = FitInputs(*[v.reshape((nc, chunk) + v.shape[1:]) for v in padded])
+    chunked = FitInputs(*[None if v is None else
+                          v.reshape((nc, chunk) + v.shape[1:]) for v in padded])
     res = jax.lax.map(lambda c: fit_waveforms(cfg, c, model_name), chunked)
     return jax.tree.map(lambda v: v.reshape((nc * chunk,) + v.shape[2:])[:n], res)
 
@@ -133,7 +146,13 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     present = batch.pres & preswf[None, :]                     # [E, B]
     flat_sig = signal.reshape(N, T)
     flat_present = present.reshape(N)
-    minsignal = jnp.min(flat_sig, axis=1)                      # ref :884 (nsamp==T)
+    if batch.minsignal is not None:
+        # the decoder's per-block minimum honors nsamp < ntime (short blocks
+        # must not pull the baseline down to the zero padding, ref :854-889)
+        minsignal = batch.minsignal.astype(dtype).reshape(N)
+    else:
+        minsignal = jnp.min(flat_sig, axis=1)                  # nsamp == T
+
     kern_flat = jnp.broadcast_to(kern[None], (E, B, cfg.mfwidth)).reshape(N, -1)
 
     # ---- peak search -------------------------------------------------
@@ -160,6 +179,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     small_active = fit_active & (npulse <= Ps)
     big_active = fit_active & (npulse > Ps)
     blocks_flat = jnp.tile(jnp.arange(B), E)
+    ped_seed_all = jnp.mean(flat_sig[:, :cfg.ped_nsamples], axis=1)  # ref :672-676
 
     params = jnp.zeros((N, M), dtype)
     chi2_ndf = jnp.zeros((N,), dtype)
@@ -183,14 +203,17 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             t_seed=_gather_lanes(seed_t_abs, sel)[:, :Pb]
             - timeref[sel_blocks][:, None],                            # ref :662
             a_seed=_gather_lanes(seed_a, sel)[:, :Pb],
-            ped_seed=jnp.mean(sel_sig[:, :cfg.ped_nsamples], axis=1),  # ref :672-676
+            ped_seed=_gather_lanes(ped_seed_all, sel),
             pulse_mask=_gather_lanes(pulse_mask, sel)[:, :Pb],
-            active=_gather_lanes(mask, sel))
-        # the fused Pallas evaluator covers the narrow bucket (small static P)
+            active=_gather_lanes(mask, sel),
+            timeref=timeref[sel_blocks])
+        # the fused Pallas evaluator covers the spline model's narrow bucket
+        # (small static P); other model families run their registered impl
         from npswf_tpu.ops.pallas_kernels import pallas_enabled
         model_name = "spline_ref_pallas" if (
-            pallas_enabled(cfg) and Pb <= cfg.fit_small_pulses
-        ) else "spline_ref"
+            cfg.model_name == "spline_ref" and pallas_enabled(cfg)
+            and Pb <= cfg.fit_small_pulses
+        ) else cfg.model_name
         fres = _fit_chunked(cfg, inp, model_name)
         pf = jnp.concatenate(
             [fres.params,
@@ -218,11 +241,19 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     t_rel = jnp.where(fitted[:, None], t_param, seed_t_rel)
     a_fin = jnp.where((fitted & converged)[:, None], a_param, seed_a)
 
+    # fitted pedestal (solver p0, = seed on unfitted/failed lanes) — one
+    # [E, B] column so the diagnostics plotter can replay the exact curve
+    pedwf = jnp.where(fitted, params[:, 0], ped_seed_all)
+
     conv_term = (corr - cortime_b - timerefacc * cfg.dt)[:, None]
     t_ns = t_rel * cfg.dt + conv_term                           # ref :782-785, :812-815
-    # gate-fail lanes keep raw bin-unit times (no conversion, ref :962-986)
-    wftime = jnp.where(fitted[:, None], t_ns, seed_t_abs)
-    wfampl = a_fin
+    # gate-fail lanes keep raw bin-unit times (no conversion, ref :962-986);
+    # slots beyond npulse are zeroed — they are never written out, and
+    # leaving solver/seed garbage there would make outputs depend on the
+    # (result-neutral) bucket routing
+    wftime = jnp.where(pulse_mask,
+                       jnp.where(fitted[:, None], t_ns, seed_t_abs), 0.0)
+    wfampl = jnp.where(pulse_mask, a_fin, 0.0)
     chi2 = jnp.where(fitted & converged, chi2_ndf, -100.0).astype(dtype)
 
     # timewf/amplwf: |time| closest to zero among valid pulses, first on tie
@@ -248,10 +279,12 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
 
     n_succ = jnp.sum(fitted & converged).astype(jnp.int32)
     n_fail = jnp.sum(fitted & ~converged).astype(jnp.int32)
+    n_high = jnp.sum(flat_present & (npulse > P - 2)).astype(jnp.int32)
     for ax in reduce_axes:
         n_succ = jax.lax.psum(n_succ, ax)
         n_fail = jax.lax.psum(n_fail, ax)
         n_dropped = jax.lax.psum(n_dropped, ax)
+        n_high = jax.lax.psum(n_high, ax)
 
     return PipelineOutput(
         wfnpulse=npulse.reshape(E, B),
@@ -261,6 +294,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         chi2=chi2.reshape(E, B),
         timewf=timewf.reshape(E, B),
         amplwf=amplwf.reshape(E, B),
+        pedwf=pedwf.reshape(E, B),
         gate=gate.reshape(E, B),
         fit_converged=(fitted & converged).reshape(E, B),
         h1time=h1.reshape(E, B, P),
@@ -271,7 +305,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         enertot=enertot, integtot=integtot,
         n_fit_success=n_succ,
         n_fit_failure=n_fail,
-        n_fit_dropped=n_dropped)
+        n_fit_dropped=n_dropped,
+        n_high_pulse=n_high)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -23,7 +23,7 @@ masked slots (ref TEST_2.C:361, 656-677).
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +43,10 @@ class FitInputs(NamedTuple):
     ped_seed: jnp.ndarray     # [N] pedestal seed (mean of first 20 samples)
     pulse_mask: jnp.ndarray   # [N, P] bool — pulse slot active
     active: jnp.ndarray       # [N] bool — lane has >=1 pulse and passed gates
+    # [N] block reference time (optional): time parameters are relative to it
+    # (ref :662); models needing the absolute frame (e.g. gaussian) read it
+    # as aux["timeref"]. None => zeros (absolute-frame fits).
+    timeref: Optional[jnp.ndarray] = None
 
 
 class FitResult(NamedTuple):
@@ -120,7 +124,14 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     N, M = u0.shape
     xgrid = jnp.arange(cfg.fit_lo_bin, cfg.fit_hi_bin, dtype=dtype)
     w = 1.0 / inp.sigma                                   # [N, K]
-    aux = model.prepare_aux(cfg, {"coeffs": inp.coeffs, "x0": inp.x0})
+    base_aux = {"coeffs": inp.coeffs, "x0": inp.x0,
+                "timeref": (inp.timeref if inp.timeref is not None
+                            else jnp.zeros_like(inp.x0))}
+    # generic model-aux channel: static per-model scalars from the config
+    # broadcast per lane (e.g. the gaussian family's width)
+    for k, v in cfg.model_aux:
+        base_aux[k] = jnp.full(inp.x0.shape, v, dtype)
+    aux = model.prepare_aux(cfg, base_aux)
     eye = jnp.eye(M, dtype=dtype)
 
     def system(u):
@@ -219,8 +230,8 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
 # Public entry: two-stage escalated fit
 # ----------------------------------------------------------------------
 def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
-                  model_name: str = "spline_ref") -> FitResult:
-    model = get_model(model_name)
+                  model_name: str = "") -> FitResult:
+    model = get_model(model_name or cfg.model_name)
     N, P = inp.t_seed.shape
     M = 1 + 2 * P
     dtype = inp.y.dtype
@@ -237,28 +248,47 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
     # (Migrad strategy escalation, ref TEST_2.C:765-767). Failed lanes are a
-    # small fraction (~1-2%, README.md:129), so they are compacted into a
-    # static sub-batch before the expensive long-budget re-solve.
+    # small fraction (~1-2%, README.md:129), so they are compacted to the
+    # front and re-solved in static-size chunks; a while_loop walks the
+    # chunks until EVERY failed lane has been retried — the reference retries
+    # all failures (ref :761-773), so there is no silent cap. A clean batch
+    # runs zero chunks, the typical batch exactly one.
     failed1 = inp.active & ~conv1
     n2 = max(min(N, 128), N // 8)
-    order2 = jnp.argsort(~failed1, stable=True)[:n2]
+    order2 = jnp.argsort(~failed1, stable=True)          # failed lanes first
+    n_failed = jnp.sum(failed1).astype(jnp.int32)
 
-    def take(x):
-        return jnp.take(x, order2, axis=0)
+    def retry_cond(c):
+        return c[0] < n_failed
 
-    inp2 = FitInputs(
-        y=take(inp.y), sigma=take(inp.sigma), coeffs=take(inp.coeffs),
-        x0=take(inp.x0), t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
-        ped_seed=take(inp.ped_seed), pulse_mask=take(inp.pulse_mask),
-        active=take(failed1))
-    u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
-        cfg, get_model(model_name), inp2, take(u0), take(lo), take(hi),
-        take(p_seed), take(pm), take(failed1),
-        cfg.lm_max_iter_stage2, cfg.lm_lambda_init * 10.0)
-    u2 = jnp.zeros_like(u1).at[order2].set(u2c)
-    chi2_2 = jnp.zeros_like(chi2_1).at[order2].set(chi2_2c)
-    conv2 = jnp.zeros_like(conv1).at[order2].set(conv2c)
-    it2 = jnp.zeros_like(it1).at[order2].set(it2c)
+    def retry_body(c):
+        start, u2, chi2_2, conv2, it2 = c
+        # the final chunk clamps to [N - n2, N): overlapped lanes are either
+        # re-solved deterministically to the same values or inactive
+        idx = jax.lax.dynamic_slice(order2, (start,), (n2,))
+
+        def take(x):
+            return jnp.take(x, idx, axis=0)
+
+        inp2 = FitInputs(
+            y=take(inp.y), sigma=take(inp.sigma), coeffs=take(inp.coeffs),
+            x0=take(inp.x0), t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
+            ped_seed=take(inp.ped_seed), pulse_mask=take(inp.pulse_mask),
+            active=take(failed1),
+            timeref=None if inp.timeref is None else take(inp.timeref))
+        u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
+            cfg, model, inp2, take(u0), take(lo), take(hi),
+            take(p_seed), take(pm), take(failed1),
+            cfg.lm_max_iter_stage2, cfg.lm_lambda_init * 10.0)
+        return (start + jnp.asarray(n2, jnp.int32),
+                u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
+                conv2.at[idx].set(conv2c), it2.at[idx].set(it2c))
+
+    _, u2, chi2_2, conv2, it2 = jax.lax.while_loop(
+        retry_cond, retry_body,
+        (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
+         jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
+         jnp.zeros_like(it1)))
 
     use2 = failed1 & conv2
     u = jnp.where(use2[:, None], u2, u1)

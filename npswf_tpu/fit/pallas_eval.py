@@ -22,8 +22,10 @@ support gate, ref :621-635).
 
 Coefficient layout: [N, 4, 256] with the 109 real segments at slots
 [PAD, PAD+109) and zeros elsewhere (see ``pad_coeffs``); biased window
-offset = fit_lo_bin - ceil(t + x0) + PAD, always in [0, 256) for gated bins,
-and circular wrap from the roll only ever lands on gated-out bins.
+offset = fit_lo_bin - ceil(t + x0) + PAD, taken mod SEG. Every bin inside
+the support gate (1 < x - t < ntime-1, ref :629) reads padded index
+(x - ceil(t+x0)) + PAD in (PAD, PAD+109] regardless of wrap; bins outside
+the gate may land anywhere on the circle and are zeroed by the gate.
 """
 from __future__ import annotations
 
@@ -74,7 +76,11 @@ def _kernel(cfg: NPSConfig, P: int, coef_ref, tau_ref, x0_ref, amp_ref,
         sder = (3.0 * d * u + 2.0 * c) * u + b
         off = (jnp.asarray(cfg.fit_lo_bin + PAD, jnp.int32)
                - ceil_t[:, 0].astype(jnp.int32))        # [L]
-        off = jnp.clip(off, 0, SEG - 1)
+        # Wrap (not clip!) the circular roll: for large t (ceil_t > fit_lo_bin
+        # + PAD) the raw offset goes negative, and mod-SEG is exactly the
+        # shift that lands every gated window slot on its segment; clipping
+        # here silently selected wrong segments for t_par + x0 > 74.
+        off = jnp.remainder(off, SEG)
         for bit in range(8):                            # barrel shift left
             # left-shift by step == circular roll by SEG - step (pltpu.roll
             # requires non-negative shifts)

@@ -39,17 +39,19 @@ def matched_filter_golden(cfg: NPSConfig, sig: np.ndarray, minsignal: float,
     """11-tap normalized cross-correlation with running-min subtraction.
 
     ``kern_rev`` is the reversed, mfint-normalized kernel (see
-    CalibrationBundle.mfkern_rev), so mf[it] = sum_j (sig[it+j-mfleft] - min)
-    * kern_rev[j], evaluated for it in [mfleft, ntime-mfright); then the
-    window minimum is subtracted over the same range (ref :167-171).
+    CalibrationBundle.mfkern_rev), so mf[it] = sum_j (sig[it+j-mfright] - min)
+    * kern_rev[j] (ref :158 uses mfright; NPSConfig enforces mfleft ==
+    mfright, without which the reference reads out of bounds), evaluated for
+    it in [mfleft, ntime-mfright); then the window minimum is subtracted over
+    the same range (ref :167-171).
     """
-    T, W, L = cfg.ntime, cfg.mfwidth, cfg.mfleft
+    T, W, R = cfg.ntime, cfg.mfwidth, cfg.mfright
     mf = np.zeros(T)
-    lo, hi = L, T - cfg.mfright
+    lo, hi = cfg.mfleft, T - cfg.mfright
     for it in range(lo, hi):
         acc = 0.0
         for jt in range(W):
-            acc += (sig[it + jt - L] - minsignal) * kern_rev[jt]
+            acc += (sig[it + jt - R] - minsignal) * kern_rev[jt]
         mf[it] = acc
     mfmin = mf[lo:hi].min() if hi > lo else 0.0
     mf[lo:hi] -= mfmin
@@ -208,7 +210,9 @@ def tspectrum_search_golden(source: np.ndarray, sigma: float = 2.0,
             maximum_decon = max(maximum_decon, decon[i])
             maximum = max(maximum, ext_orig[i])
 
-    rel = min(1.0, threshold) / 100.0
+    # SearchHighRes accepts at threshold*maximum_decon/100 (threshold is in
+    # percent here, = 100*Search's fraction); no min(1, .) clamp.
+    rel = threshold / 100.0
 
     # --- local-max accept + 3-bin centroid + amplitude-descending insert ---
     positions: list = []  # centroid positions a, kept sorted by ext_orig key desc
@@ -311,13 +315,20 @@ def cluster_gate_golden(cfg: NPSConfig, signal: np.ndarray, pres: np.ndarray,
 # Raw-stream decode (ref TEST_2.C:854-889)
 # ----------------------------------------------------------------------
 def decode_event_golden(cfg: NPSConfig, stream: np.ndarray
-                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """Unpack the [blk, nsamp, s0..s(nsamp-1)]* stream.
 
-    Returns (signal[nblocks, ntime], pres[nslots], minsignal[nblocks]).
+    Returns (signal[nblocks, ntime], pres[nslots], minsignal[nblocks], bad).
     Slots 2000/2001 remap to 1080/1081 (scintillators) and are flagged present
-    but carry no samples into ``signal`` (ref :862-865, 881-886). A slot
-    outside [0, nslots) aborts the decode (ref :867-872).
+    but carry no samples into ``signal`` (ref :862-865, 881-886). ``bad`` is
+    -1 for a clean decode, the offending slot id when a slot outside
+    [0, nslots) aborts the decode (ref :867-872), -2 when an nsamp runs past
+    the event's stream (truncated/corrupt event; samples are clamped, never
+    read out of range), and -3 when the whole stream exceeds ndata_max and
+    the event is skipped (ref :830-836). Samples past ntime are dropped
+    (matching the native decoder's clamp; the reference's fixed
+    signal[bloc*ntime + it] write would corrupt neighbors there — UB we
+    define away).
     """
     B, T = cfg.nblocks, cfg.ntime
     signal = np.zeros((B, T))
@@ -325,7 +336,10 @@ def decode_event_golden(cfg: NPSConfig, stream: np.ndarray
     minsignal = np.full(B, 1e6)
     ns = 0
     n = stream.shape[0]
-    while ns < n:
+    bad = -1
+    if n > cfg.ndata_max:                        # Ndata guard (ref :830-836)
+        return signal, pres, minsignal, -3
+    while ns + 2 <= n:
         bloc = int(stream[ns]); ns += 1
         nsamp = int(stream[ns]); ns += 1
         if bloc == cfg.scint_slot_a:
@@ -333,14 +347,18 @@ def decode_event_golden(cfg: NPSConfig, stream: np.ndarray
         if bloc == cfg.scint_slot_b:
             bloc = 1081
         if bloc < 0 or bloc > cfg.nslots - 0.5:
+            bad = bloc
             break
         pres[bloc] = 1
-        for it in range(nsamp):
-            if 0 <= bloc < B:
-                signal[bloc, it] = stream[ns]
+        if ns + nsamp > n:
+            bad = -2
+        lim = min(nsamp, T, n - ns)
+        if 0 <= bloc < B:
+            for it in range(lim):
+                signal[bloc, it] = stream[ns + it]
                 minsignal[bloc] = min(minsignal[bloc], signal[bloc, it])
-            ns += 1
-    return signal, pres, minsignal
+        ns += nsamp
+    return signal, pres, minsignal, bad
 
 
 # ----------------------------------------------------------------------

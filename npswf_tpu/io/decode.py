@@ -45,10 +45,11 @@ def _decode_numpy(cfg: NPSConfig, seg: RawSegment, lo: int, hi: int):
     minsig = np.full((E, B), 1e6, np.float32)
     bad = np.full(E, -1, np.int32)
     for i in range(E):
-        s, p, m = decode_event_golden(cfg, seg.event_stream(lo + i))
+        s, p, m, b = decode_event_golden(cfg, seg.event_stream(lo + i))
         signal[i] = s
         pres[i] = p
         minsig[i] = m
+        bad[i] = b
     return signal, pres, minsig, bad
 
 
@@ -67,6 +68,7 @@ def _decode_native(cfg: NPSConfig, seg: RawSegment, lo: int, hi: int,
         stream.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         E, B, T, cfg.nslots, cfg.scint_slot_a, cfg.scint_slot_b,
+        cfg.ndata_max,
         signal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         pres.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         minsig.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -58,7 +58,7 @@ def load() -> Optional[ctypes.CDLL]:
         lib.decode_batch.restype = ctypes.c_int
         lib.decode_batch.argtypes = [
             f64p, i64p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
             f32p, u8p, f32p, i32p, ctypes.c_int]
         lib.flatten_pulses.restype = None
         lib.flatten_pulses.argtypes = [

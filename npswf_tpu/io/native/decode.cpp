@@ -25,15 +25,19 @@ extern "C" {
 //   n_events:       number of events
 //   nblocks/ntime/nslots: geometry (1080 / 110 / 1104)
 //   scint_a/scint_b: raw scintillator slot ids (2000 / 2001)
+//   ndata_max:      Ndata guard — an event whose stream exceeds this is
+//                   skipped entirely (ref TEST_2.C:830-836); <= 0 disables
 //   signal_out:     [n_events * nblocks * ntime] f32, zero-filled by callee
 //   pres_out:       [n_events * nslots] u8
 //   minsig_out:     [n_events * nblocks] f32 (1e6 where block absent)
-//   bad_slot_out:   [n_events] i32 — slot id that aborted the decode, or -1
+//   bad_slot_out:   [n_events] i32 — slot id that aborted the decode;
+//                   -1 = clean, -2 = truncated stream (an nsamp ran past the
+//                   event boundary), -3 = oversize (Ndata guard)
 // Returns the number of events with decode problems.
 int decode_batch(const double* stream, const int64_t* offsets, int64_t n_events,
                  int nblocks, int ntime, int nslots, int scint_a, int scint_b,
-                 float* signal_out, uint8_t* pres_out, float* minsig_out,
-                 int32_t* bad_slot_out, int n_threads) {
+                 int64_t ndata_max, float* signal_out, uint8_t* pres_out,
+                 float* minsig_out, int32_t* bad_slot_out, int n_threads) {
   std::atomic<int> n_bad{0};
 
   auto worker = [&](int64_t e0, int64_t e1) {
@@ -47,6 +51,11 @@ int decode_batch(const double* stream, const int64_t* offsets, int64_t n_events,
       std::memset(pres, 0, (size_t)nslots);
       for (int b = 0; b < nblocks; ++b) msig[b] = 1e6f;
       bad_slot_out[e] = -1;
+      if (ndata_max > 0 && n > ndata_max) {           // ref :830-836
+        bad_slot_out[e] = -3;
+        n_bad.fetch_add(1, std::memory_order_relaxed);
+        continue;                                     // event skipped entirely
+      }
 
       int64_t ns = 0;
       while (ns + 2 <= n) {
@@ -60,10 +69,15 @@ int decode_batch(const double* stream, const int64_t* offsets, int64_t n_events,
           break;
         }
         pres[bloc] = 1;
+        if (ns + nsamp > n) {                         // truncated/corrupt event:
+          bad_slot_out[e] = -2;                       // never read past the
+          n_bad.fetch_add(1, std::memory_order_relaxed);  // event's stream
+        }
         if (bloc < nblocks) {
           float* row = sig + (int64_t)bloc * ntime;
           float mn = msig[bloc];
-          const long lim = std::min<long>(nsamp, ntime);
+          const long lim = std::min<long>(
+              std::min<long>(nsamp, (long)ntime), (long)(n - ns));
           for (long it = 0; it < lim; ++it) {
             const float v = (float)s[ns + it];
             row[it] = v;

@@ -77,6 +77,13 @@ class WFWriter:
     n_fit_success: int = 0
     n_fit_failure: int = 0
     n_fit_dropped: int = 0
+    # runtime-guard tallies (the reference's inline warnings, surfaced as
+    # counters: bad slot ref :867-872, Ndata oversize ref :830-836, truncated
+    # stream, high pulse count ref :209-213)
+    n_bad_slot: int = 0
+    n_oversize: int = 0
+    n_truncated: int = 0
+    n_high_pulse: int = 0
 
     def _append(self, name: str, arr: np.ndarray) -> None:
         self._cols.setdefault(name, []).append(np.asarray(arr))
@@ -111,6 +118,7 @@ class WFWriter:
         self._append("amplwf", np.asarray(out.amplwf, np.float64)[:n])
         self._append("wfnpulse", npulse.astype(np.int32))
         self._append("timewf", np.asarray(out.timewf, np.float64)[:n])
+        self._append("pedwf", np.asarray(out.pedwf, np.float64)[:n])
         self._append("enertot", np.asarray(out.enertot, np.float64)[:n])
         self._append("integtot", np.asarray(out.integtot, np.float64)[:n])
         B = self.cfg.nblocks
@@ -125,6 +133,11 @@ class WFWriter:
         self.n_fit_success += int(out.n_fit_success)
         self.n_fit_failure += int(out.n_fit_failure)
         self.n_fit_dropped += int(out.n_fit_dropped)
+        self.n_high_pulse += int(getattr(out, "n_high_pulse", 0))
+        bad = np.asarray(decoded.bad_slot)[:n]
+        self.n_bad_slot += int(np.sum(bad >= 0))
+        self.n_oversize += int(np.sum(bad == -3))
+        self.n_truncated += int(np.sum(bad == -2))
 
     def ingest_part(self, part: Dict[str, np.ndarray]) -> None:
         """Re-ingest a previously finalized (single-batch) part file's columns
@@ -137,6 +150,11 @@ class WFWriter:
                 self.n_fit_success += int(v[0])
                 self.n_fit_failure += int(v[1])
                 self.n_fit_dropped += int(v[2])
+                if v.shape[0] > 3:   # guard counters (added in round 2)
+                    self.n_bad_slot += int(v[3])
+                    self.n_oversize += int(v[4])
+                    self.n_truncated += int(v[5])
+                    self.n_high_pulse += int(v[6])
             elif k == "wf_offsets":
                 self._append("wf_counts", np.diff(v))
             elif k == "h_offsets":
@@ -161,7 +179,9 @@ class WFWriter:
         cols["h1time_hist"] = self._h1
         cols["h2time_hist"] = self._h2
         cols["fit_counters"] = np.array(
-            [self.n_fit_success, self.n_fit_failure, self.n_fit_dropped], np.int64)
+            [self.n_fit_success, self.n_fit_failure, self.n_fit_dropped,
+             self.n_bad_slot, self.n_oversize, self.n_truncated,
+             self.n_high_pulse], np.int64)
         for k, v in self.payload.items():
             cols[f"payload_{k}"] = v
         np.savez_compressed(path, **cols)

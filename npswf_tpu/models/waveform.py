@@ -122,8 +122,12 @@ class GaussianPulseModel(WaveformModel):
         N, M = params.shape
         P = (M - 1) // 2
         w = aux["width"][:, None, None]                 # [N,1,1]
+        # time parameters are relative to the block reference time when the
+        # engine provides one (FitInputs.timeref; zero in direct solver use)
+        center = aux.get("timeref")
+        c = 0.0 if center is None else center[:, None, None]
         ped = params[:, 0]
-        tpar = params[:, 1::2][:, :, None]              # [N,P,1]
+        tpar = params[:, 1::2][:, :, None] + c          # [N,P,1] absolute
         apar = params[:, 2::2][:, :, None]
         act = pulse_mask[:, :, None].astype(params.dtype)
         z = (xgrid[None, None, :] - tpar) / w           # [N,P,K]

@@ -31,14 +31,16 @@ def matched_filter(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
     Returns:
       [..., B, T] matched-filter output, window-min subtracted (ref :167-171).
     """
-    T, W, L = cfg.ntime, cfg.mfwidth, cfg.mfleft
-    lo, hi = L, T - cfg.mfright
+    T, W, R = cfg.ntime, cfg.mfwidth, cfg.mfright
+    lo, hi = cfg.mfleft, T - cfg.mfright
     n = hi - lo
     delta = signal - minsignal[..., None]            # [..., B, T]
     acc = jnp.zeros(signal.shape[:-1] + (n,), signal.dtype)
     for jt in range(W):
-        # window position it in [lo, hi) reads sample it + jt - L
-        acc = acc + delta[..., jt + lo - L: jt + lo - L + n] * kern_rev[..., :, jt:jt + 1]
+        # window position it in [lo, hi) reads sample it + jt - mfright
+        # (ref TEST_2.C:158 — mfright, not mfleft; identical under the
+        # mfleft == mfright symmetry NPSConfig enforces)
+        acc = acc + delta[..., jt + lo - R: jt + lo - R + n] * kern_rev[..., :, jt:jt + 1]
     mfmin = jnp.min(acc, axis=-1, keepdims=True)
     acc = acc - mfmin
     pad_lo = jnp.zeros(signal.shape[:-1] + (lo,), signal.dtype)

@@ -36,14 +36,16 @@ def pallas_enabled(cfg) -> bool:
 
 
 def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref, out_ref):
-    T, W, L = cfg.ntime, cfg.mfwidth, cfg.mfleft
-    lo, hi = L, T - cfg.mfright
+    T, W, R = cfg.ntime, cfg.mfwidth, cfg.mfright
+    lo, hi = cfg.mfleft, T - cfg.mfright
     n = hi - lo
     sig = sig_ref[:, :]                       # [tile, Tpad]
     delta = sig - min_ref[:, :]               # min broadcast [tile, 1]
     acc = jnp.zeros((sig.shape[0], n), sig.dtype)
     for jt in range(W):
-        acc = acc + delta[:, jt:jt + n] * kern_ref[:, jt:jt + 1]
+        # it + jt - mfright (ref :158); == jt + lo - R under the enforced
+        # mfleft == mfright symmetry, so the slice start stays non-negative
+        acc = acc + delta[:, jt + lo - R:jt + lo - R + n] * kern_ref[:, jt:jt + 1]
     mfmin = jnp.min(acc, axis=1, keepdims=True)
     acc = acc - mfmin
     # zero the window borders via static-slice stores (dynamic_update_slice

@@ -90,7 +90,10 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
     kfit = int(2.0 * sigma + 0.5)
     if kfit >= 2:
         i_arr = np.arange(kfit, dtype=np.float64)
-        m0, m1, m2 = float(kfit), i_arr.sum(), (i_arr ** 2).sum()
+        # python floats (weak types): numpy scalars would promote the whole
+        # search to f64 when x64 is enabled, silently changing the compute
+        # dtype of every downstream op
+        m0, m1, m2 = float(kfit), float(i_arr.sum()), float((i_arr ** 2).sum())
         det = m0 * m2 - m1 * m1
         l0 = jnp.sum(src[:, :kfit], axis=1)
         l1 = jnp.sum(src[:, :kfit] * jnp.asarray(i_arr, dtype), axis=1)
@@ -161,7 +164,11 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
                       axis=1, keepdims=True)
 
     # ---- 4. accept + centroid ----------------------------------------
-    rel = min(1.0, 100.0 * cfg.specthres) / 100.0
+    # ROOT's Search() forwards 100*threshold into SearchHighRes, whose
+    # acceptance is working_space[i] > threshold*maximum_decon/100 — i.e.
+    # specthres * max(decon), with NO min(1, .) clamp (that round-1 clamp
+    # wrongly admitted peaks at 1% of the decon max for specthres=0.02).
+    rel = cfg.specthres
     is_lmax = jnp.zeros((N, size_ext), bool)
     is_lmax = is_lmax.at[:, 1:-1].set(
         (decon[:, 1:-1] > decon[:, :-2]) & (decon[:, 1:-1] > decon[:, 2:]))

@@ -7,7 +7,8 @@ a segment gather + Horner step, with analytic first derivative for the fit
 Jacobian (replacing Minuit2's numerical gradients).
 
 Knots are the reference waveform's time axis, assumed uniform with unit
-spacing (asserted by the calibration loader); the model support gate
+spacing (load_calibration validates np.diff(xs) == 1 per block and rejects
+files that violate it); the model support gate
 ``spline_gate_lo < dt0 < ntime-1`` (ref :629-632) zeroes contributions
 outside the pulse support.
 """

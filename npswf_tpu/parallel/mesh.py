@@ -77,7 +77,8 @@ def _calib_specs(cfg: NPSConfig, calib: Dict[str, jnp.ndarray]):
 def _batch_specs(cfg: NPSConfig) -> EventBatch:
     d, b = cfg.mesh_data_axis, cfg.mesh_block_axis
     return EventBatch(signal=P(d, b, None), pres=P(d, b),
-                      corr_time_HMS=P(d), evt=P(d), runnum=P(d))
+                      corr_time_HMS=P(d), evt=P(d), runnum=P(d),
+                      minsignal=P(d, b))
 
 
 def _output_specs(cfg: NPSConfig) -> PipelineOutput:
@@ -87,11 +88,12 @@ def _output_specs(cfg: NPSConfig) -> PipelineOutput:
     e = P(d)
     return PipelineOutput(
         wfnpulse=eb, wftime=ebp, wfampl=ebp, pulse_valid=ebp, chi2=eb,
-        timewf=eb, amplwf=eb, gate=eb, fit_converged=eb,
+        timewf=eb, amplwf=eb, pedwf=eb, gate=eb, fit_converged=eb,
         h1time=ebp, h2time=ebp, h_mask=ebp,
         ampl=eb, ener=eb, integ=eb, bkg=eb, noise=eb,
         enertot=e, integtot=e,
-        n_fit_success=P(), n_fit_failure=P(), n_fit_dropped=P())
+        n_fit_success=P(), n_fit_failure=P(), n_fit_dropped=P(),
+        n_high_pulse=P())
 
 
 def shard_calibration(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
@@ -102,6 +104,8 @@ def shard_calibration(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
 
 
 def shard_event_batch(cfg: NPSConfig, batch: EventBatch, mesh: Mesh) -> EventBatch:
+    if batch.minsignal is None:  # dense batch: min over all T samples
+        batch = batch._replace(minsignal=jnp.min(batch.signal, axis=-1))
     specs = _batch_specs(cfg)
     return EventBatch(*[jax.device_put(jnp.asarray(v), NamedSharding(mesh, s))
                         for v, s in zip(batch, specs)])

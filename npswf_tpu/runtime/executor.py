@@ -53,6 +53,11 @@ class RunResult:
     events_per_sec: float
     blocks_per_sec: float
     out_path: str
+    # runtime-guard tallies (the reference's inline warnings as counters)
+    n_bad_slot: int = 0      # events aborted on an out-of-range slot (ref :867-872)
+    n_oversize: int = 0      # events skipped by the Ndata guard (ref :830-836)
+    n_truncated: int = 0     # events whose stream ended mid-block
+    n_high_pulse: int = 0    # lanes with npulse > maxwfpulses-2 (ref :209-213)
 
 
 def _pad_decoded(cfg: NPSConfig, d: DecodedBatch, target: int) -> DecodedBatch:
@@ -80,7 +85,8 @@ def _to_event_batch(cfg: NPSConfig, d: DecodedBatch, dtype) -> EventBatch:
         pres=jnp.asarray(d.pres[:, :B].astype(bool)),
         corr_time_HMS=jnp.asarray(d.corr_time_HMS.astype(dtype)),
         evt=jnp.asarray(d.evt),
-        runnum=jnp.asarray(d.runnum))
+        runnum=jnp.asarray(d.runnum),
+        minsignal=jnp.asarray(d.minsignal.astype(dtype)))
 
 
 class _Progress:
@@ -163,6 +169,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
         if i + 1 < len(pending):
             fut = pool.submit(decode, pending[i + 1])  # overlap next decode
         n_valid = hi - lo
+        bad = d.bad_slot[:n_valid]
+        if np.any(bad != -1):
+            # the reference's per-event warnings (slot problem ref :867-872,
+            # Ndata guard ref :830-836), aggregated per batch
+            for e in np.nonzero(bad != -1)[0]:
+                kind = {-2: "truncated stream", -3: "oversize (Ndata guard)"}\
+                    .get(int(bad[e]), f"slot number problem (slot {bad[e]})")
+                log.warning("event %s: %s", d.evt[e], kind)
         d_pad = _pad_decoded(cfg, d, batch_size)
         with timers.stage("pipeline"):
             out = pipeline(_to_event_batch(cfg, d_pad, dtype))
@@ -200,8 +214,17 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
         wall_time=wall,
         events_per_sec=E_total / max(wall, 1e-9),
         blocks_per_sec=E_total * cfg.nblocks / max(wall, 1e-9),
-        out_path=out_path)
+        out_path=out_path,
+        n_bad_slot=merged.n_bad_slot,
+        n_oversize=merged.n_oversize,
+        n_truncated=merged.n_truncated,
+        n_high_pulse=merged.n_high_pulse)
     log.info("Total failed fits: %d total fits succeed: %d (dropped %d)",
              res.n_fit_failure, res.n_fit_success, res.n_fit_dropped)
+    if res.n_bad_slot or res.n_oversize or res.n_truncated or res.n_high_pulse:
+        log.warning(
+            "decode/search guards: %d bad-slot, %d oversize-skipped, "
+            "%d truncated events; %d high-pulse-count blocks",
+            res.n_bad_slot, res.n_oversize, res.n_truncated, res.n_high_pulse)
     log.info(timers.report())
     return res

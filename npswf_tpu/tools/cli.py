@@ -54,9 +54,22 @@ def cmd_run(args) -> int:
     from npswf_tpu.io.rawstream import read_segment
     from npswf_tpu.runtime.executor import run_segment
 
+    # seg-derived default file names, mirroring the reference's
+    # nps_hms_coin_{run}_{seg}... -> nps_production_{run}_{seg}_{threads}...
+    # pattern (ref TEST_2.C:290, 301)
+    if args.input is None:
+        args.input = f"nps_segment_{args.run}_{args.seg}.npz"
+    if args.out is None:
+        args.out = f"nps_production_{args.run}_{args.seg}_{args.devices}_wf.npz"
+    if not os.path.exists(args.input):
+        print(f"ERROR: Cannot open file: {args.input}", file=sys.stderr)
+        return 2
+
     cfg = config_for_run(args.run)
     if args.fit_capacity:
         cfg = cfg.replace(fit_capacity=args.fit_capacity)
+    if args.model:
+        cfg = cfg.replace(model_name=args.model)
     cal = _load_calibration(cfg, args)
     seg = read_segment(args.input)
     if args.range:
@@ -114,6 +127,14 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_parity(args) -> int:
+    from npswf_tpu.tools.parity import run_parity
+    report = run_parity(args.ref, args.ours, dt_ns=args.dt,
+                        time_tol_bins=args.time_tol_bins,
+                        json_out=args.json)
+    return 0 if report["pass"] else 1
+
+
 def cmd_validate(args) -> int:
     from npswf_tpu.tools.plotstats import main as plotstats_main
     return plotstats_main([args.wf_file] + (["--verbose"] if args.verbose else []))
@@ -135,11 +156,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("run", help="process a raw segment")
     p.add_argument("--run", type=int, default=3000)
-    p.add_argument("--seg", type=int, default=0)
-    p.add_argument("--input", required=True)
+    p.add_argument("--seg", type=int, default=0,
+                   help="segment number; names the default --input/--out "
+                        "(the reference's file-name pattern, TEST_2.C:290, 301)")
+    p.add_argument("--input", default=None,
+                   help="raw segment .npz (default: nps_segment_{run}_{seg}.npz)")
     p.add_argument("--calib", default=None,
                    help=".npz bundle, manifest .json, or calibration root dir")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None,
+                   help="WF output .npz (default: "
+                        "nps_production_{run}_{seg}_{devices}_wf.npz)")
+    p.add_argument("--model", default=None,
+                   help="waveform model family (default spline_ref; "
+                        "see npswf_tpu.models)")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--block-shards", type=int, default=1)
@@ -168,6 +197,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--x64", action="store_true")
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser(
+        "parity", help="per-pulse time/amp/chi2 residuals vs a reference WF "
+                       "file (ROOT via uproot, or another WF .npz)")
+    p.add_argument("--ref", required=True)
+    p.add_argument("--ours", required=True)
+    p.add_argument("--dt", type=float, default=4.0, help="ns per bin")
+    p.add_argument("--time-tol-bins", type=float, default=0.05)
+    p.add_argument("--json", default=None, help="write the full report here")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("validate", help="output-integrity check (plotstats)")
     p.add_argument("wf_file")

@@ -43,7 +43,7 @@ def make_event_plots(wf_path: str, seg_path: str, calib_path: str,
         active = np.nonzero(npulse > 0)[0][:max_blocks]
         if active.size == 0:
             continue
-        sig, _, _ = decode_event_golden(cfg, seg.event_stream(row))
+        sig, _, _, _ = decode_event_golden(cfg, seg.event_stream(row))
         offs = wf["wf_offsets"]
         t_flat = wf["wftime_flat"][offs[row]:offs[row + 1]]
         a_flat = wf["wfampl_flat"][offs[row]:offs[row + 1]]
@@ -66,7 +66,12 @@ def make_event_plots(wf_path: str, seg_path: str, calib_path: str,
                 # invert the ns conversion back to bin offsets (ref :1228)
                 t_rel = (times - corr + cal.cortime[b]
                          + cal.timerefacc * cfg.dt) / cfg.dt
-                ped = np.mean(sig[b, :cfg.ped_nsamples])
+                # the FITTED pedestal is persisted (pedwf column) so the
+                # drawn curve is exactly the fitted model, not a re-estimate
+                if "pedwf" in wf:
+                    ped = wf["pedwf"][row, b]
+                else:  # pre-round-2 WF files
+                    ped = np.mean(sig[b, :cfg.ped_nsamples])
                 model = np.full(cfg.ntime, ped)
                 for tr, a in zip(t_rel, amps):
                     arg = x - tr

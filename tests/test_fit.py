@@ -160,10 +160,35 @@ def test_failed_lane_seed_fallback(cfg, cal):
     np.testing.assert_allclose(p[0, 1::2], np.asarray(inp.t_seed)[0], atol=1e-12)
 
 
+def test_stage2_retries_every_failed_lane(cfg, cal):
+    """More failed lanes than one retry chunk (128): the chunked stage-2
+    while_loop must still retry ALL of them — the reference retries every
+    failure (ref TEST_2.C:761-773); round 1 silently capped at
+    max(min(N,128), N//8) lanes."""
+    N = 256
+    inp, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=N, seed=17)
+    # stage 1 budget of zero iterations fails every lane; stage 2 gets the
+    # full budget, so (nearly) all must now converge via retry
+    cfg2 = cfg.replace(lm_max_iter_stage1=0)
+    res = fit_waveforms(cfg2, inp)
+    s1 = np.asarray(res.converged_stage1)
+    conv = np.asarray(res.converged)
+    assert not s1.any()
+    assert conv.sum() > 128, (
+        f"only {conv.sum()} lanes converged — lanes beyond the old one-chunk "
+        "cap were not retried")
+    assert conv.mean() > 0.9
+    p = np.asarray(res.params)
+    dt = np.abs(p[conv, 1] - t_true[conv, 0])
+    assert np.median(dt) < 0.05
+
+
 def test_fp32_matches_fp64(cfg, cal):
     inp64, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=32, seed=6)
-    inp32 = FitInputs(*[jnp.asarray(np.asarray(v).astype(
-        np.float32 if np.asarray(v).dtype == np.float64 else np.asarray(v).dtype))
+    inp32 = FitInputs(*[
+        v if v is None else jnp.asarray(np.asarray(v).astype(
+            np.float32 if np.asarray(v).dtype == np.float64
+            else np.asarray(v).dtype))
         for v in inp64])
     r64 = fit_waveforms(cfg, inp64)
     r32 = fit_waveforms(cfg, inp32)

@@ -47,7 +47,7 @@ def test_decode_native_matches_golden(cfg, cal):
     truth, seg, pres = _make_segment(cfg, cal, E=4, sparse=True)
     dec = decode_segment(cfg, cal, seg, use_native=True)
     for e in range(seg.n_events):
-        g_sig, g_pres, g_min = decode_event_golden(cfg, seg.event_stream(e))
+        g_sig, g_pres, g_min, g_bad = decode_event_golden(cfg, seg.event_stream(e))
         np.testing.assert_allclose(dec.signal[e], g_sig.astype(np.float32),
                                    rtol=0, atol=0)
         np.testing.assert_array_equal(dec.pres[e], g_pres.astype(np.uint8))
@@ -80,8 +80,9 @@ def test_decode_bad_slot_aborts(cfg, cal):
     assert dec.pres[0, 5] == 1
     assert dec.pres[0, 7] == 0            # decode aborted before block 7
     assert dec.signal[0, 7].sum() == 0
-    g_sig, g_pres, _ = decode_event_golden(cfg, stream)
+    g_sig, g_pres, _, g_bad = decode_event_golden(cfg, stream)
     np.testing.assert_array_equal(dec.pres[0], g_pres.astype(np.uint8))
+    assert g_bad == 3000
 
 
 def test_hms_matches_golden(cfg, cal):

@@ -47,7 +47,10 @@ def test_pallas_fused_fit_eval_matches_model(cfg, cal):
     blocks = rng.integers(0, cfg.nblocks, N)
     params = np.zeros((N, 1 + 2 * P))
     params[:, 0] = rng.uniform(-5, 5, N)
-    params[:, 1::2] = rng.uniform(-60, 70, (N, P))
+    # cover the full reachable time range INCLUDING t + x0 > fit_lo_bin + PAD
+    # - 1 (= 73), where the barrel-shift offset wraps negative (the round-1
+    # clip-instead-of-mod bug lived there, ADVICE.md r1 high)
+    params[:, 1::2] = rng.uniform(-60, 95, (N, P))
     params[:, 2::2] = rng.uniform(10, 200, (N, P))
     pm = rng.random((N, P)) < 0.8
     aux = {"coeffs": jnp.asarray(cal.spline_coeffs[blocks]),
