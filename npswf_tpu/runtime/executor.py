@@ -195,12 +195,13 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     pool.shutdown()
 
     # ---- ordered merge of parts (the temp->final clone, ref :1396-1432) ----
+    # streaming two-pass merge: peak memory = one part's largest column,
+    # matching the reference's row-streamed CloneTree (not whole-run RAM).
     with timers.stage("merge"):
-        merged = WFWriter(cfg, payload=dict(seg.payload))
-        for fname in sorted(os.listdir(parts_dir)):
-            part = np.load(os.path.join(parts_dir, fname))
-            merged.ingest_part({k: part[k] for k in part.files})
-        merged.finalize(out_path)
+        from npswf_tpu.io.merge import merge_parts
+        part_paths = [os.path.join(parts_dir, f)
+                      for f in sorted(os.listdir(parts_dir))]
+        merged = merge_parts(part_paths, out_path, payload=dict(seg.payload))
     shutil.rmtree(parts_dir, ignore_errors=True)
     if os.path.exists(out_path + ".progress.json"):
         os.remove(out_path + ".progress.json")

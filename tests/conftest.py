@@ -17,11 +17,31 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite's cost is dominated by XLA compiles
+# of the full pipeline; caching them on disk makes re-runs start warm.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402
 
 from npswf_tpu.core.config import NPSConfig  # noqa: E402
 from npswf_tpu.core.calibration import synthetic_calibration  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    A full single-process run accumulates ~100 XLA CPU executables (several
+    GB RSS) and has been observed to segfault inside backend_compile near the
+    end; clearing per module keeps the process lean. Recompiles are cheap via
+    the persistent compilation cache above.
+    """
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
