@@ -62,8 +62,23 @@ class NPSConfig:
 
     # ---- LM solver budgets (replaces Migrad strategy 1/1000 -> 2/5000,
     #      ref TEST_2.C:701-703, 765-767) ----
-    lm_max_iter_stage1: int = 20
-    lm_max_iter_stage2: int = 120
+    # Budgets are knee-points measured on the dense bench batch (PERF.md):
+    # stage-1 convergence is 88% by 10 iterations (median 4) and plateaus
+    # at 95.3% by ~40; the stage-2 restart (10x lambda) rescues the rest to
+    # a 1.7-1.8% failure rate with a 60-iteration budget — same rescue as
+    # 120, half the cost. Cost is budget-bound, not typical-case-bound:
+    # any straggler lane burns the whole budget for its chunk.
+    lm_max_iter_stage1: int = 10
+    lm_max_iter_stage2: int = 60
+    # High-pileup lanes (npulse > lm_wide_pulses) get bigger per-LANE
+    # budgets: many-param systems converge slower than the 1-2-pulse knee
+    # the defaults above were tuned on, and such lanes are rare, so the
+    # bigger budgets cost nothing on typical batches. Budgets are keyed on
+    # the lane's own pulse count (not on bucket routing), so fit-lane
+    # routing stays result-neutral.
+    lm_wide_pulses: int = 2
+    lm_stage1_wide: int = 20
+    lm_stage2_wide: int = 120
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 11.0
     lm_lambda_down: float = 9.0
@@ -75,6 +90,13 @@ class NPSConfig:
                               # error ~1e-3 bins, 50x under the 0.05-bin parity
                               # bar, converges lanes ~2x sooner and lowers the
                               # failure rate into the reference's 1-2% band)
+    # stage-2 retry layout: "compact" gathers failed lanes to the front and
+    # re-solves fixed-size chunks under a while_loop (minimum FLOPs);
+    # "masked" re-solves the full batch with only failed lanes active —
+    # one solver call of depth <= lm_max_iter_stage2 instead of a
+    # sequential chunk walk. Results are identical lane-for-lane (the LM
+    # update is row-wise); pick by what the hardware is bound on.
+    lm_stage2_mode: str = "compact"
 
     # ---- waveform model family (the reference hardcodes the spline model
     #      in its fit lambda, ref TEST_2.C:621-635; here it is pluggable) ----
@@ -88,7 +110,11 @@ class NPSConfig:
     compute_dtype: str = "float32"   # on-device compute dtype
     solver_dtype: str = "float32"    # LM linear-algebra dtype
     fit_capacity: int = 0            # max fitted lanes per batch; 0 = all lanes
-    fit_chunk: int = 4096            # LM sub-batch size (lax.map chunks)
+    fit_chunk: int = 8640            # LM sub-batch size (lax.map chunks).
+                                     # Fewer chunks = fewer fixed-cost
+                                     # stage-2 retry rounds; 8640 = half the
+                                     # 16-event full-geometry batch, below
+                                     # the Pallas-eval VMEM ceiling (~17k)
     fit_small_pulses: int = 2        # bucket boundary: lanes with <= this many
                                      # pulses fit with a narrow parameter vector
     fit_big_frac: int = 8            # capacity of the wide bucket = cap/this
@@ -112,6 +138,10 @@ class NPSConfig:
                 f"mfleft ({self.mfleft}) must equal mfright ({self.mfright}): "
                 "the reference's filter window reads out of bounds otherwise "
                 "(TEST_2.C:156-158)")
+        if self.lm_stage2_mode not in ("compact", "masked"):
+            raise ValueError(
+                f"lm_stage2_mode must be 'compact' or 'masked', "
+                f"got {self.lm_stage2_mode!r}")
 
     @property
     def nblocks(self) -> int:

@@ -191,21 +191,40 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         cap_big = max(min(N, 256), cap_all // max(cfg.fit_big_frac, 1))
         buckets.append((big_active, cap_big, P))
     for mask, cap_b, Pb in buckets:
-        sel = jnp.argsort(~mask, stable=True)[:cap_b]
-        sel_blocks = blocks_flat[sel]
-        sel_sig = _gather_lanes(flat_sig, sel)
+        one_chunk = cfg.fit_chunk <= 0 or cap_b <= cfg.fit_chunk
+        if cap_b >= N and one_chunk:
+            # capacity covers every lane and the solver runs it as a single
+            # chunk: the compaction permutation would be pure overhead (full
+            # argsort + gathers of [N, T] / [N, S, 4]), so fit all lanes in
+            # place with the bucket mask as `active`. (Under lax.map chunking
+            # compaction stays worthwhile — front-packing lets all-inactive
+            # trailing chunks exit their while_loops immediately, the big win
+            # at sparse occupancy.)
+            sel = None
+            sel_blocks = blocks_flat
+            sel_sig = flat_sig
+
+            def take(arr):
+                return arr
+        else:
+            sel = jnp.argsort(~mask, stable=True)[:cap_b]
+            sel_blocks = blocks_flat[sel]
+            sel_sig = _gather_lanes(flat_sig, sel)
+
+            def take(arr, sel=sel):
+                return _gather_lanes(arr, sel)
         sel_err = error_model(cfg, sel_sig)
         inp = FitInputs(
             y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
             sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
             coeffs=coeffs[sel_blocks],
             x0=x0[sel_blocks],
-            t_seed=_gather_lanes(seed_t_abs, sel)[:, :Pb]
+            t_seed=take(seed_t_abs)[:, :Pb]
             - timeref[sel_blocks][:, None],                            # ref :662
-            a_seed=_gather_lanes(seed_a, sel)[:, :Pb],
-            ped_seed=_gather_lanes(ped_seed_all, sel),
-            pulse_mask=_gather_lanes(pulse_mask, sel)[:, :Pb],
-            active=_gather_lanes(mask, sel),
+            a_seed=take(seed_a)[:, :Pb],
+            ped_seed=take(ped_seed_all),
+            pulse_mask=take(pulse_mask)[:, :Pb],
+            active=take(mask),
             timeref=timeref[sel_blocks])
         # the fused Pallas evaluator covers the spline model's narrow bucket
         # (small static P); other model families run their registered impl
@@ -218,13 +237,19 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         pf = jnp.concatenate(
             [fres.params,
              jnp.zeros((fres.params.shape[0], 2 * (P - Pb)), dtype)], axis=1)
-        infit = jnp.zeros((N,), bool).at[sel].set(True) & mask
-        params = jnp.where(
-            infit[:, None], jnp.zeros((N, M), dtype).at[sel].set(pf), params)
-        chi2_ndf = jnp.where(
-            infit, jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf), chi2_ndf)
-        converged = converged | (
-            jnp.zeros((N,), bool).at[sel].set(fres.converged) & infit)
+        if sel is None:
+            infit = mask
+            params = jnp.where(infit[:, None], pf, params)
+            chi2_ndf = jnp.where(infit, fres.chi2_ndf, chi2_ndf)
+            converged = converged | (fres.converged & infit)
+        else:
+            infit = jnp.zeros((N,), bool).at[sel].set(True) & mask
+            params = jnp.where(
+                infit[:, None], jnp.zeros((N, M), dtype).at[sel].set(pf), params)
+            chi2_ndf = jnp.where(
+                infit, jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf), chi2_ndf)
+            converged = converged | (
+                jnp.zeros((N,), bool).at[sel].set(fres.converged) & infit)
         fitted = fitted | infit
         n_dropped = n_dropped + jnp.maximum(
             jnp.sum(mask) - cap_b, 0).astype(jnp.int32)

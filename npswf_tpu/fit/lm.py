@@ -115,9 +115,13 @@ def _dp_du(u, lo, hi, param_mask):
 def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
              u0: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
              p_seed: jnp.ndarray, param_mask: jnp.ndarray,
-             active: jnp.ndarray, max_iter: int, lam0: float):
+             active: jnp.ndarray, max_iter: int, lam0: float,
+             iter_budget: Optional[jnp.ndarray] = None):
     """Run LM from internal params u0 on ``active`` lanes.
 
+    ``max_iter`` is the static loop cap; ``iter_budget`` [N] (optional)
+    gives each lane its own (<= max_iter) budget — a lane that exhausts its
+    budget freezes as not-converged while deeper-budget lanes continue.
     Returns (u, chi2, converged, n_iter, edm).
     """
     dtype = inp.y.dtype
@@ -178,13 +182,15 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     # iteration costs exactly one model evaluation (at the trial point):
     # accept -> the trial's system becomes current; reject -> keep the cache
     # and only lambda changes.
+    if iter_budget is None:
+        iter_budget = jnp.full((N,), max_iter, jnp.int32)
     A0, g0, chi2_0 = system(u0)
     zero = chi2_0 * 0.0  # varying-derived init keeps shard_map types stable
     state = dict(
         u=u0, A=A0, g=g0,
         chi2=jnp.where(active, chi2_0, 0.0),
         lam=zero + lam0,
-        done=~active,
+        done=~active | (iter_budget <= 0),
         conv=active & jnp.zeros((N,), bool),
         n_iter=zero.astype(jnp.int32),
         edm=zero + jnp.inf,
@@ -213,8 +219,9 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
         rel_impr = (s["chi2"] - chi2_new) / jnp.maximum(s["chi2"], 1.0)
         conv_f = step & (rel_impr < ftol_eff)
         conv = ~s["done"] & (conv_g | conv_f)
-        done_new = s["done"] | conv
         n_iter = jnp.where(s["done"], s["n_iter"], s["n_iter"] + 1)
+        # a lane that exhausts its own budget freezes (not converged)
+        done_new = s["done"] | conv | (n_iter >= iter_budget)
         return dict(u=u_new, A=A_new, g=g_new, chi2=chi2_new,
                     lam=jnp.where(s["done"], s["lam"], lam_new),
                     done=done_new, conv=s["conv"] | conv, n_iter=n_iter,
@@ -242,18 +249,41 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
          jnp.repeat(inp.pulse_mask, 2, axis=1)], axis=1)   # [N, M] param mask
     u0 = _to_internal(p_seed, lo, hi, pm)
 
+    # per-LANE iteration budgets keyed on the lane's own pulse count:
+    # high-pileup (many-param) systems converge slower and get the wide
+    # budgets. Keying on the lane (not the routing bucket) keeps fit-lane
+    # routing result-neutral.
+    npul = jnp.sum(inp.pulse_mask, axis=1)
+    wide = npul > cfg.lm_wide_pulses
+    s1_budget = jnp.where(wide, cfg.lm_stage1_wide,
+                          cfg.lm_max_iter_stage1).astype(jnp.int32)
+    s2_budget = jnp.where(wide, cfg.lm_stage2_wide,
+                          cfg.lm_max_iter_stage2).astype(jnp.int32)
+    s1_cap = max(cfg.lm_max_iter_stage1, cfg.lm_stage1_wide)
+    s2_cap = max(cfg.lm_max_iter_stage2, cfg.lm_stage2_wide)
+
     u1, chi2_1, conv1, it1, edm1 = lm_solve(
         cfg, model, inp, u0, lo, hi, p_seed, pm, inp.active,
-        cfg.lm_max_iter_stage1, cfg.lm_lambda_init)
+        s1_cap, cfg.lm_lambda_init, s1_budget)
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
-    # (Migrad strategy escalation, ref TEST_2.C:765-767). Failed lanes are a
-    # small fraction (~1-2%, README.md:129), so they are compacted to the
-    # front and re-solved in static-size chunks; a while_loop walks the
-    # chunks until EVERY failed lane has been retried — the reference retries
-    # all failures (ref :761-773), so there is no silent cap. A clean batch
-    # runs zero chunks, the typical batch exactly one.
+    # (Migrad strategy escalation, ref TEST_2.C:765-767). Two layouts with
+    # identical results (the LM update is row-wise, so a lane's solution
+    # does not depend on its batch neighbors):
+    # - "masked": one full-width solve with only failed lanes active.
+    #   Sequential depth <= lm_max_iter_stage2 regardless of failure count;
+    #   right choice when iterations are launch/latency-bound (TPU).
+    # - "compact": failed lanes gathered to the front, re-solved in
+    #   static-size chunks under a while_loop until EVERY failed lane has
+    #   been retried — the reference retries all failures (ref :761-773),
+    #   so there is no silent cap. A clean batch runs zero chunks.
     failed1 = inp.active & ~conv1
+    if cfg.lm_stage2_mode == "masked":
+        u2, chi2_2, conv2, it2, _ = lm_solve(
+            cfg, model, inp, u0, lo, hi, p_seed, pm, failed1,
+            s2_cap, cfg.lm_lambda_init * 10.0, s2_budget)
+        return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
+                        failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
     n2 = max(min(N, 128), N // 8)
     order2 = jnp.argsort(~failed1, stable=True)          # failed lanes first
     n_failed = jnp.sum(failed1).astype(jnp.int32)
@@ -279,7 +309,7 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
         u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
             cfg, model, inp2, take(u0), take(lo), take(hi),
             take(p_seed), take(pm), take(failed1),
-            cfg.lm_max_iter_stage2, cfg.lm_lambda_init * 10.0)
+            s2_cap, cfg.lm_lambda_init * 10.0, take(s2_budget))
         return (start + jnp.asarray(n2, jnp.int32),
                 u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
                 conv2.at[idx].set(conv2c), it2.at[idx].set(it2c))
@@ -289,7 +319,14 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
         (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
          jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
          jnp.zeros_like(it1)))
+    return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
+                    failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
 
+
+def _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
+             failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm) -> FitResult:
+    """Merge stage-1 and stage-2 results into the public FitResult."""
+    dtype = inp.y.dtype
     use2 = failed1 & conv2
     u = jnp.where(use2[:, None], u2, u1)
     chi2 = jnp.where(use2, chi2_2, chi2_1)

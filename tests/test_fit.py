@@ -183,6 +183,27 @@ def test_stage2_retries_every_failed_lane(cfg, cal):
     assert np.median(dt) < 0.05
 
 
+def test_stage2_masked_matches_compact(cfg, cal):
+    """The two stage-2 layouts must be result-identical lane-for-lane: the
+    LM update is row-wise, so whether failed lanes are re-solved compacted
+    in chunks or masked at full width cannot change any lane's solution."""
+    N = 192
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=N, seed=21, seed_jitter=3.5)
+    # zero stage-1 budget forces every lane through the stage-2 path
+    base = cfg.replace(lm_max_iter_stage1=0)
+    res_c = fit_waveforms(base.replace(lm_stage2_mode="compact"), inp)
+    res_m = fit_waveforms(base.replace(lm_stage2_mode="masked"), inp)
+    assert np.asarray(res_m.converged).sum() > 0.8 * N
+    np.testing.assert_array_equal(np.asarray(res_c.converged),
+                                  np.asarray(res_m.converged))
+    # XLA reassociates the per-lane reductions differently at different
+    # batch widths, so agreement is last-ulp, not bitwise
+    np.testing.assert_allclose(np.asarray(res_c.params),
+                               np.asarray(res_m.params), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_c.chi2),
+                               np.asarray(res_m.chi2), rtol=1e-10, atol=1e-10)
+
+
 def test_fp32_matches_fp64(cfg, cal):
     inp64, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=32, seed=6)
     inp32 = FitInputs(*[
