@@ -118,12 +118,17 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
     sm = jnp.zeros_like(nip)
     xmax = size_ext - 1
     for l in range(1, cfg.spec_aver_window + 1):
-        idx_f = np.minimum(np.arange(xmax) + l, xmax)
-        a_f = y[:, idx_f]
+        # neighbor lookups y[min(i+l, xmax)] / y[max(i-l+1, 0)] as pure
+        # slices + edge-column broadcast: index-array gathers are ~5 ms
+        # each on TPU at [17k, 138]; slices are free
+        a_f = jnp.concatenate(
+            [y[:, l:xmax], jnp.broadcast_to(y[:, xmax:xmax + 1], (N, l))],
+            axis=1)
         denom_f = jnp.where(a_f + nip <= 0.0, 1.0, jnp.sqrt(a_f + nip))
         sp = sp + jnp.exp((a_f - nip) / denom_f)
-        idx_b = np.maximum(np.arange(xmax) - l + 1, 0)
-        a_b = y[:, idx_b]
+        a_b = jnp.concatenate(
+            [jnp.broadcast_to(y[:, :1], (N, l - 1)), y[:, :xmax - l + 1]],
+            axis=1)
         denom_b = jnp.where(a_b + nim <= 0.0, 1.0, jnp.sqrt(a_b + nim))
         sm = sm + jnp.exp((a_b - nim) / denom_b)
     logr = jnp.log(sp) - jnp.log(sm)
@@ -185,19 +190,44 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
     a = jnp.clip(a, 0.0, float(ssize - 1))
 
     # ---- 5. top-P by source amplitude --------------------------------
-    a_int = jnp.floor(a).astype(jnp.int32)
-    key = jnp.take_along_axis(src, jnp.clip(a_int, 0, ssize - 1), axis=1)
+    # The source amplitude at the centroid bin, src[clip(floor(a))], is
+    # needed as the ordering key. A take_along_axis here is a full-width
+    # per-element gather — ~24 ms at [17k, 138] on TPU, the single most
+    # expensive op in the whole search. But the 3-bin centroid a always
+    # lies within +-1 of its local-max bin j (nonnegative decon weights),
+    # and the edge clip keeps the target in {j-1, j, j+1} too, so the
+    # gather is exactly reproduced by three static shifted slices + selects.
+    # (Slots where that window argument fails have accept == False and are
+    # masked to -inf below, so their key value is irrelevant.)
+    srcpad = jnp.pad(src, ((0, 0), (shift, size_ext - ssize - shift)))
+    y_prev = jnp.pad(srcpad, ((0, 0), (1, 0)))[:, :-1]   # srcpad[j-1]
+    y_next = jnp.pad(srcpad, ((0, 0), (0, 1)))[:, 1:]    # srcpad[j+1]
+    j_idx = jnp.asarray(idx, jnp.int32)
+
+    def _window_select(target_sample):
+        k_val = target_sample + shift                    # ext-frame target
+        return jnp.where(k_val == j_idx - 1, y_prev,
+                         jnp.where(k_val == j_idx + 1, y_next, srcpad))
+
+    a_int = jnp.clip(jnp.floor(a).astype(jnp.int32), 0, ssize - 1)
+    key = _window_select(a_int)
+    # pos_y's value at the ROUNDED centroid, computed full-width the same
+    # way so the final per-slot extraction needs no gather either
+    k_round = jnp.clip(jnp.floor(a + 0.5).astype(jnp.int32), 0, ssize - 1)
+    pos_y_full = _window_select(k_round)
+
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     keys_masked = jnp.where(accept, key, neg_inf)
-    top_vals, top_idx = jax.lax.top_k(keys_masked, P)                 # [N, P]
-    valid = top_vals > neg_inf
-    a_sel = jnp.take_along_axis(a, top_idx, axis=1)
+    # one stable multi-operand sort carries (a, pos_y) along with the key:
+    # descending amplitude, ties in scan order — identical ordering to
+    # top_k + per-slot gathers, without the [N, P] gathers
+    sort_neg, a_srt, y_srt = jax.lax.sort(
+        (-keys_masked, a, pos_y_full), dimension=1, num_keys=1)
+    valid = sort_neg[:, :P] < jnp.asarray(jnp.inf, dtype)             # [N, P]
+    a_sel = a_srt[:, :P]
     k_sel = jnp.floor(a_sel + 0.5)
     pos_x = jnp.where(valid, k_sel + 0.5, 0.0)
-    pos_y = jnp.where(
-        valid,
-        jnp.take_along_axis(src, jnp.clip(k_sel.astype(jnp.int32), 0, ssize - 1), axis=1),
-        0.0)
+    pos_y = jnp.where(valid, y_srt[:, :P], 0.0)
     return pos_x, pos_y, valid
 
 
@@ -241,11 +271,14 @@ def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
     ti = jnp.clip(jnp.floor(xpos + 0.5).astype(jnp.int32), 0, T - 1)
     raw = jnp.take_along_axis(signal, ti, axis=1)
     amp = jnp.abs(raw - minsignal[:, None])
-    # stable compaction: accepted slots first, original (amplitude-desc) order
-    order = jnp.argsort(~gate, axis=1, stable=True)
-    times_c = jnp.take_along_axis(jnp.where(gate, xpos, 0.0), order, axis=1)
-    amps_c = jnp.take_along_axis(jnp.where(gate, amp, 0.0), order, axis=1)
-    valid_c = jnp.take_along_axis(gate, order, axis=1)
+    # stable compaction: accepted slots first, original (amplitude-desc)
+    # order — one multi-operand stable sort instead of argsort + three
+    # take_along_axis gathers
+    _, times_c, amps_c, valid_i = jax.lax.sort(
+        ((~gate).astype(jnp.int32), jnp.where(gate, xpos, 0.0),
+         jnp.where(gate, amp, 0.0), gate.astype(jnp.int32)),
+        dimension=1, num_keys=1)
+    valid_c = valid_i.astype(bool)
     npulse = jnp.sum(gate, axis=1).astype(jnp.int32)
     return PulseSearchResult(npulse=npulse, times=times_c, amps=amps_c,
                              valid=valid_c, mf=mf)
