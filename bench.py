@@ -40,7 +40,7 @@ def main() -> int:
 
     cfg = NPSConfig(compute_dtype="float32")
     cal = synthetic_calibration(cfg, seed=1)
-    E = 16
+    E = 64
     truth = make_events(cfg, cal, E, occupancy=1.0, max_pulses=2,
                         pileup_prob=0.25, seed=7)
     rng = np.random.default_rng(11)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from npswf_tpu.core.config import NPSConfig
 from npswf_tpu.engine.diagnostics import block_diagnostics
 from npswf_tpu.fit.errors import error_model
-from npswf_tpu.fit.lm import FitInputs, fit_waveforms
+from npswf_tpu.fit.lm import FitInputs, FitResult, fit_waveforms
 from npswf_tpu.ops.cluster_gate import cluster_gate
 from npswf_tpu.ops.peak_search import find_pulses
 
@@ -233,7 +233,26 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             cfg.model_name == "spline_ref" and pallas_enabled(cfg)
             and Pb <= cfg.fit_small_pulses
         ) else cfg.model_name
-        fres = _fit_chunked(cfg, inp, model_name)
+        # An all-inactive bucket still pays its initial system evaluation
+        # (for the wide bucket that is a [cap, P*K] spline gather + 25-wide
+        # normal equations) unless skipped at runtime: lax.cond executes
+        # only the taken branch on TPU, so empty buckets cost nothing.
+        # Inactive-lane outputs are never read (masked by `infit` below),
+        # so the skip branch can return zeros.
+        def _skip_fit(inp, _Pb=Pb):
+            Mb = 1 + 2 * _Pb
+            # zeros derived from the input so the branch output carries the
+            # same shard_map varying-axes type as the real fit branch
+            z = jnp.sum(inp.y, axis=1) * 0.0
+            return FitResult(
+                params=z[:, None] + jnp.zeros((1, Mb), dtype), chi2=z,
+                chi2_ndf=z, converged=z > 1.0, converged_stage1=z > 1.0,
+                n_iter=z.astype(jnp.int32), edm=z)
+
+        fres = jax.lax.cond(
+            jnp.any(inp.active),
+            lambda i: _fit_chunked(cfg, i, model_name),
+            _skip_fit, inp)
         pf = jnp.concatenate(
             [fres.params,
              jnp.zeros((fres.params.shape[0], 2 * (P - Pb)), dtype)], axis=1)

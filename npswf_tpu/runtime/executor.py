@@ -111,7 +111,7 @@ class _Progress:
 
 
 def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
-                out_path: str, batch_size: int = 32,
+                out_path: str, batch_size: int = 64,
                 mesh=None, resume: bool = True,
                 use_native_decode: bool = True,
                 timers: Optional[StageTimer] = None,

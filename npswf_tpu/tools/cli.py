@@ -169,7 +169,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default=None,
                    help="waveform model family (default spline_ref; "
                         "see npswf_tpu.models)")
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--block-shards", type=int, default=1)
     p.add_argument("--fit-capacity", type=int, default=0)
