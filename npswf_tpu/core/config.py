@@ -79,6 +79,12 @@ class NPSConfig:
     lm_wide_pulses: int = 2
     lm_stage1_wide: int = 20
     lm_stage2_wide: int = 120
+    lm_unroll: int = 1        # LM steps per while-loop body (results are
+                              # identical for any value — budget freezing
+                              # is per step). >1 amortizes loop overhead in
+                              # principle but measured 3x SLOWER on TPU
+                              # (XLA stages the doubled body's buffers
+                              # pathologically); keep 1
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 11.0
     lm_lambda_down: float = 9.0
@@ -121,6 +127,14 @@ class NPSConfig:
     spline_mode: str = "auto"        # segment select: "auto" | "gather" |
                                      # "onehot" (MXU); auto = onehot off-CPU
     use_pallas: bool = True          # Pallas kernels (auto-disabled on CPU)
+    use_fused_system: bool = False   # one-call Pallas LM normal equations.
+                                     # 2.4x faster than fused-eval + XLA
+                                     # einsums when chained standalone, but
+                                     # measured SLOWER inside the pipeline's
+                                     # while_loop/lax.map context (XLA
+                                     # stages extra HBM<->VMEM copies around
+                                     # the custom call); off until that
+                                     # scheduling is understood
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 
     # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----

@@ -91,31 +91,12 @@ def _gather_lanes(arr, sel):
 
 
 def _fit_chunked(cfg: NPSConfig, inp: FitInputs, model_name: str = "spline_ref"):
-    """Run the LM fit in fixed-size sub-batches via ``lax.map``.
-
-    Chunking bounds the compiled kernel sizes (very large fused fit bodies
-    both compile slowly and can fault the TPU) and lets each chunk's
-    while_loop exit as soon as its own lanes converge.
-    """
-    n = inp.y.shape[0]
-    chunk = cfg.fit_chunk if cfg.fit_chunk > 0 else n
-    if n <= chunk:
-        return fit_waveforms(cfg, inp, model_name)
-    nc = -(-n // chunk)
-    pad = nc * chunk - n
-
-    def pad0(x, value=0):
-        if x is None:
-            return None
-        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths, constant_values=value)
-
-    padded = FitInputs(*[pad0(v, 1 if name == "sigma" else 0)
-                         for name, v in zip(FitInputs._fields, inp)])
-    chunked = FitInputs(*[None if v is None else
-                          v.reshape((nc, chunk) + v.shape[1:]) for v in padded])
-    res = jax.lax.map(lambda c: fit_waveforms(cfg, c, model_name), chunked)
-    return jax.tree.map(lambda v: v.reshape((nc * chunk,) + v.shape[2:])[:n], res)
+    """Run the LM fit with lax.map-chunked stage 1 (bounded kernel sizes,
+    per-chunk early exit) and ONE global stage-2 retry pass — per-chunk
+    stage 2 would multiply the retry rounds' fixed cost by the chunk count
+    (measured ~48 ms vs ~16 ms on a 64-event batch)."""
+    chunk = cfg.fit_chunk if cfg.fit_chunk > 0 else 0
+    return fit_waveforms(cfg, inp, model_name, stage1_chunk=chunk)
 
 
 def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

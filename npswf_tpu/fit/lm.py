@@ -138,17 +138,29 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     aux = model.prepare_aux(cfg, base_aux)
     eye = jnp.eye(M, dtype=dtype)
 
-    def system(u):
-        p = _to_physical(u, lo, hi, p_seed, param_mask)
-        f, Jp = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
-        r = (inp.y - f) * w                               # [N, K]
-        Ju = Jp * _dp_du(u, lo, hi, param_mask)[:, None, :] * w[:, :, None]
-        A = jnp.einsum("nki,nkj->nij", Ju, Ju,
-                       preferred_element_type=dtype)      # [N, M, M]
-        g = jnp.einsum("nki,nk->ni", Ju, r,
-                       preferred_element_type=dtype)      # [N, M]
-        chi2 = jnp.sum(r * r, axis=1)
-        return A, g, chi2
+    if (cfg.use_fused_system
+            and getattr(model, "name", "") == "spline_ref_pallas"):
+        # fully fused path: bound transform + spline eval + Jacobian columns
+        # + normal equations in ONE Pallas call — no [N, K, M] Jacobian ever
+        # reaches HBM, and the per-iteration kernel-launch chain collapses
+        from npswf_tpu.fit.pallas_eval import fused_system
+
+        def system(u):
+            return fused_system(cfg, aux["coeffs_pad"], inp.x0, inp.y, w,
+                                u, lo, hi, p_seed, param_mask,
+                                interpret=cfg.interpret_pallas)
+    else:
+        def system(u):
+            p = _to_physical(u, lo, hi, p_seed, param_mask)
+            f, Jp = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
+            r = (inp.y - f) * w                           # [N, K]
+            Ju = Jp * _dp_du(u, lo, hi, param_mask)[:, None, :] * w[:, :, None]
+            A = jnp.einsum("nki,nkj->nij", Ju, Ju,
+                           preferred_element_type=dtype)  # [N, M, M]
+            g = jnp.einsum("nki,nk->ni", Ju, r,
+                           preferred_element_type=dtype)  # [N, M]
+            chi2 = jnp.sum(r * r, axis=1)
+            return A, g, chi2
 
     def solve_damped(A, g, lam):
         diag = jnp.diagonal(A, axis1=1, axis2=2)
@@ -200,7 +212,7 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     def cond(s):
         return (s["it"] < max_iter) & ~jnp.all(s["done"])
 
-    def body(s):
+    def one_step(s):
         gcrit = gcrit_of(s["A"], s["g"], s["chi2"])
         conv_g = gcrit < gtol_eff
 
@@ -228,6 +240,17 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
                     edm=jnp.where(s["done"], s["edm"], gcrit),
                     it=s["it"] + 1)
 
+    def body(s):
+        # lm_unroll steps per while-loop body: the loop's fixed per-
+        # iteration cost (carry copies, cond evaluation, device sync) is
+        # comparable to the step itself at these widths; unrolling halves
+        # it. Per-lane results are identical — done/budget freezing is
+        # applied inside each step, so a lane converging mid-body simply
+        # no-ops through the remaining steps.
+        for _ in range(max(1, cfg.lm_unroll)):
+            s = one_step(s)
+        return s
+
     out = jax.lax.while_loop(cond, body, state)
     converged = out["conv"] & active
     return out["u"], out["chi2"], converged, out["n_iter"], out["edm"]
@@ -236,19 +259,15 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
 # ----------------------------------------------------------------------
 # Public entry: two-stage escalated fit
 # ----------------------------------------------------------------------
-def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
-                  model_name: str = "") -> FitResult:
-    model = get_model(model_name or cfg.model_name)
+def _prepare(cfg: NPSConfig, inp: FitInputs):
+    """Bounds, seeds, param mask, internal start point, per-lane budgets."""
     N, P = inp.t_seed.shape
-    M = 1 + 2 * P
-    dtype = inp.y.dtype
     lo, hi = _bounds(cfg, inp)
     p_seed = _seed_params(cfg, inp)
     pm = jnp.concatenate(
         [jnp.ones((N, 1), bool),
          jnp.repeat(inp.pulse_mask, 2, axis=1)], axis=1)   # [N, M] param mask
     u0 = _to_internal(p_seed, lo, hi, pm)
-
     # per-LANE iteration budgets keyed on the lane's own pulse count:
     # high-pileup (many-param) systems converge slower and get the wide
     # budgets. Keying on the lane (not the routing bucket) keeps fit-lane
@@ -259,12 +278,34 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
                           cfg.lm_max_iter_stage1).astype(jnp.int32)
     s2_budget = jnp.where(wide, cfg.lm_stage2_wide,
                           cfg.lm_max_iter_stage2).astype(jnp.int32)
+    return lo, hi, p_seed, pm, u0, s1_budget, s2_budget
+
+
+def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
+                  model_name: str = "", stage1_chunk: int = 0) -> FitResult:
+    """Two-stage escalated batched fit.
+
+    ``stage1_chunk`` > 0 runs stage 1 in lax.map chunks of that size while
+    stage 2 stays ONE global pass over all failed lanes — chunking bounds
+    compiled kernel sizes without multiplying the fixed cost of the
+    stage-2 retry rounds by the chunk count. Results are lane-identical
+    either way (the LM update is row-wise).
+    """
+    model = get_model(model_name or cfg.model_name)
+    N, P = inp.t_seed.shape
+    dtype = inp.y.dtype
+    lo, hi, p_seed, pm, u0, s1_budget, s2_budget = _prepare(cfg, inp)
     s1_cap = max(cfg.lm_max_iter_stage1, cfg.lm_stage1_wide)
     s2_cap = max(cfg.lm_max_iter_stage2, cfg.lm_stage2_wide)
 
-    u1, chi2_1, conv1, it1, edm1 = lm_solve(
-        cfg, model, inp, u0, lo, hi, p_seed, pm, inp.active,
-        s1_cap, cfg.lm_lambda_init, s1_budget)
+    if stage1_chunk > 0 and N > stage1_chunk:
+        u1, chi2_1, conv1, it1, edm1 = _stage1_chunked(
+            cfg, model, inp, u0, lo, hi, p_seed, pm, s1_cap, s1_budget,
+            stage1_chunk)
+    else:
+        u1, chi2_1, conv1, it1, edm1 = lm_solve(
+            cfg, model, inp, u0, lo, hi, p_seed, pm, inp.active,
+            s1_cap, cfg.lm_lambda_init, s1_budget)
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
     # (Migrad strategy escalation, ref TEST_2.C:765-767). Two layouts with
@@ -284,7 +325,7 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
             s2_cap, cfg.lm_lambda_init * 10.0, s2_budget)
         return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
                         failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
-    n2 = max(min(N, 128), N // 8)
+    n2 = max(min(N, 128), N // 16)
     order2 = jnp.argsort(~failed1, stable=True)          # failed lanes first
     n_failed = jnp.sum(failed1).astype(jnp.int32)
 
@@ -321,6 +362,42 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
          jnp.zeros_like(it1)))
     return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
                     failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
+
+
+def _stage1_chunked(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
+                    u0, lo, hi, p_seed, pm, s1_cap: int, s1_budget,
+                    chunk: int):
+    """Stage 1 via lax.map over fixed-size lane chunks.
+
+    Each chunk's while_loop exits as soon as its own lanes converge (the
+    reason to chunk at all: bounded kernel sizes + early exit for
+    all-inactive chunks when lanes are front-packed by occupancy).
+    """
+    N = u0.shape[0]
+    nc = -(-N // chunk)
+    pad = nc * chunk - N
+
+    def pad0(x, value=0):
+        if x is None:
+            return None
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=value)
+
+    def chunked(x):
+        return None if x is None else x.reshape((nc, chunk) + x.shape[1:])
+
+    inp_p = FitInputs(*[chunked(pad0(v, 1 if name == "sigma" else 0))
+                        for name, v in zip(FitInputs._fields, inp)])
+    carry = tuple(chunked(pad0(v)) for v in
+                  (u0, lo, hi, p_seed, pm, inp.active, s1_budget))
+
+    def one(args):
+        ic, (u0c, loc, hic, psc, pmc, actc, bc) = args
+        return lm_solve(cfg, model, ic, u0c, loc, hic, psc, pmc, actc,
+                        s1_cap, cfg.lm_lambda_init, bc)
+
+    res = jax.lax.map(one, (inp_p, carry))
+    return tuple(v.reshape((nc * chunk,) + v.shape[2:])[:N] for v in res)
 
 
 def _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,

@@ -151,3 +151,142 @@ def fused_eval(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
     )(coeffs_pad, t_par, x0[:, None], a_par, ped[:, None],
       pulse_mask.astype(dtype))
     return f[:N, :K], jt[:N, :, :K], ja[:N, :, :K]
+
+
+# ----------------------------------------------------------------------
+# Fully fused LM "system" kernel: model + Jacobian columns + normal
+# equations in ONE pallas_call.
+# ----------------------------------------------------------------------
+def _system_kernel(cfg: NPSConfig, P: int, coef_ref, x0_ref, y_ref, w_ref,
+                   u_ref, lo_ref, hi_ref, pseed_ref, pmask_ref, out_ref):
+    """Per tile: physical transform, spline eval + window, Jacobian columns,
+    and the K-reductions A = Ju^T Ju, g = Ju^T r, chi2 = r^T r.
+
+    Layout of out_ref [L, >=M*(M+1)/2 + M + 1]: upper-triangular A
+    (row-major i<=j), then g, then chi2. w_ref must be zero outside the
+    valid fit bins (that zeroing replaces the kvalid gate for the
+    reductions; padded bins contribute exact zeros everywhere).
+    """
+    L = coef_ref.shape[0]
+    dtype = coef_ref.dtype
+    M = 1 + 2 * P
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (L, KP), 1).astype(dtype)
+    xk = k_iota + cfg.fit_lo_bin
+    w = w_ref[:, :]
+    y = y_ref[:, :]
+    # Minuit-style bound transform (lm._to_physical/_dp_du semantics)
+    u = u_ref[:, :]
+    lo = lo_ref[:, :]
+    hi = hi_ref[:, :]
+    half = 0.5 * (hi - lo)
+    mid = 0.5 * (hi + lo)
+    ok = (pmask_ref[:, :] > 0) & (half > 0)
+    p_phys = jnp.where(ok, mid + half * jnp.sin(u), pseed_ref[:, :])
+    dpdu = jnp.where(ok, half * jnp.cos(u), 0.0)
+
+    a = coef_ref[:, 0, :]
+    b = coef_ref[:, 1, :]
+    c = coef_ref[:, 2, :]
+    d = coef_ref[:, 3, :]
+    f = jnp.broadcast_to(p_phys[:, 0:1], (L, KP)).astype(dtype)
+    cols = [jnp.broadcast_to(dpdu[:, 0:1], (L, KP)) * w]   # pedestal column
+    for p in range(P):
+        t_par = p_phys[:, 1 + 2 * p:2 + 2 * p]
+        amp = p_phys[:, 2 + 2 * p:3 + 2 * p]
+        tau = t_par + x0_ref[:, :]
+        ceil_t = jnp.ceil(tau)
+        uu = ceil_t - tau
+        sval = ((d * uu + c) * uu + b) * uu + a
+        sder = (3.0 * d * uu + 2.0 * c) * uu + b
+        off = (jnp.asarray(cfg.fit_lo_bin + PAD, jnp.int32)
+               - ceil_t[:, 0].astype(jnp.int32))
+        off = jnp.remainder(off, SEG)
+        for bit in range(8):
+            step = SEG - (1 << bit)
+            m = (((off >> bit) & 1) > 0)[:, None]
+            sval = jnp.where(m, pltpu.roll(sval, step, axis=1), sval)
+            sder = jnp.where(m, pltpu.roll(sder, step, axis=1), sder)
+        rel = xk - t_par
+        gate = (rel > cfg.spline_gate_lo) & (rel < cfg.ntime - 1)
+        val = jnp.where(gate, sval[:, :KP], 0.0)
+        der = jnp.where(gate, sder[:, :KP], 0.0)
+        f = f + amp * val
+        cols.append(-amp * der * dpdu[:, 1 + 2 * p:2 + 2 * p] * w)
+        cols.append(val * dpdu[:, 2 + 2 * p:3 + 2 * p] * w)
+    r = (y - f) * w
+    outs = []
+    for i in range(M):
+        for j in range(i, M):
+            outs.append(jnp.sum(cols[i] * cols[j], axis=1, keepdims=True))
+    for i in range(M):
+        outs.append(jnp.sum(cols[i] * r, axis=1, keepdims=True))
+    outs.append(jnp.sum(r * r, axis=1, keepdims=True))
+    n = len(outs)
+    out_ref[:, :n] = jnp.concatenate(outs, axis=1)
+
+
+def fused_system(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
+                 y: jnp.ndarray, w: jnp.ndarray, u: jnp.ndarray,
+                 lo: jnp.ndarray, hi: jnp.ndarray, p_seed: jnp.ndarray,
+                 param_mask: jnp.ndarray, interpret: bool = False):
+    """One-call LM normal equations for the spline model.
+
+    Args: coeffs_pad [N,4,SEG], x0 [N], y/w [N,K] (w MUST be the fit-bin
+    weights 1/sigma; both are zero-padded to KP here), u/lo/hi/p_seed/
+    param_mask [N,M]. Returns (A [N,M,M], g [N,M], chi2 [N]).
+    """
+    N, M = u.shape
+    P = (M - 1) // 2
+    K = y.shape[1]
+    dtype = coeffs_pad.dtype
+    nout = M * (M + 1) // 2 + M + 1
+    wout = -(-nout // 128) * 128
+    # smaller lane tile than fused_eval: the kernel's working set (coeff
+    # planes + Jacobian columns + reduction temporaries) exceeds the Mosaic
+    # scoped-VMEM budget at 512 lanes
+    tile = min(256, N)
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+
+    def padN(arr):
+        if Np == N:
+            return arr
+        return jnp.pad(arr, ((0, Np - N),) + ((0, 0),) * (arr.ndim - 1))
+
+    yp = jnp.pad(y, ((0, 0), (0, KP - K)))
+    wp = jnp.pad(w, ((0, 0), (0, KP - K)))
+    out = pl.pallas_call(
+        functools.partial(_system_kernel, cfg, P),
+        out_shape=jax.ShapeDtypeStruct((Np, wout), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, 4, SEG), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, wout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padN(coeffs_pad), padN(x0[:, None]), padN(yp), padN(wp), padN(u),
+      padN(lo), padN(hi), padN(p_seed), padN(param_mask.astype(dtype)))
+    out = out[:N]
+    # unpack upper-triangular A (symmetrize) with one gather-free stack:
+    # tri[(i, j)] -> packed column index, full row-major (i, j) order
+    tri = {}
+    pos = 0
+    for i in range(M):
+        for j in range(i, M):
+            tri[(i, j)] = tri[(j, i)] = pos
+            pos += 1
+    A = jnp.stack([out[:, tri[(i, j)]] for i in range(M) for j in range(M)],
+                  axis=1).reshape(N, M, M)
+    g = out[:, pos:pos + M]
+    chi2 = out[:, pos + M]
+    return A, g, chi2

@@ -87,3 +87,53 @@ def test_fit_waveforms_pallas_model(cfg, cal):
     c = np.asarray(r1.converged)
     np.testing.assert_allclose(np.asarray(r2.params)[c], np.asarray(r1.params)[c],
                                rtol=1e-7, atol=1e-7)
+
+
+def test_pallas_fused_system_matches_generic(cfg, cal):
+    """The one-call fused system kernel (bound transform + spline eval +
+    Jacobian columns + normal equations) must reproduce the generic
+    eval_and_jac + einsum path to fp64 machine precision."""
+    import jax.numpy as jnp
+    from tests.test_fit import _build_inputs
+    from npswf_tpu.fit.lm import (_bounds, _seed_params, _to_internal,
+                                  _to_physical, _dp_du)
+    from npswf_tpu.fit.pallas_eval import fused_system, pad_coeffs
+    from npswf_tpu.models.waveform import get_model
+
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=24, seed=9, max_pulses=2,
+                            seed_jitter=3.0)
+    P = 2
+    inp = inp._replace(t_seed=inp.t_seed[:, :P], a_seed=inp.a_seed[:, :P],
+                       pulse_mask=inp.pulse_mask[:, :P])
+    N = inp.y.shape[0]
+    lo, hi = _bounds(cfg, inp)
+    p_seed = _seed_params(cfg, inp)
+    pm = jnp.concatenate(
+        [jnp.ones((N, 1), bool), jnp.repeat(inp.pulse_mask, 2, axis=1)],
+        axis=1)
+    u0 = _to_internal(p_seed, lo, hi, pm)
+    rng = np.random.default_rng(3)
+    u = u0 + jnp.asarray(rng.uniform(-0.3, 0.3, u0.shape))
+    w = 1.0 / inp.sigma
+    xgrid = jnp.arange(cfg.fit_lo_bin, cfg.fit_hi_bin, dtype=inp.y.dtype)
+
+    model = get_model("spline_ref")
+    p = _to_physical(u, lo, hi, p_seed, pm)
+    aux = {"coeffs": inp.coeffs, "x0": inp.x0, "timeref": inp.timeref}
+    f, Jp = model.eval_and_jac(cfg, p, aux, xgrid, inp.pulse_mask)
+    r = (inp.y - f) * w
+    Ju = Jp * _dp_du(u, lo, hi, pm)[:, None, :] * w[:, :, None]
+    A_ref = jnp.einsum("nki,nkj->nij", Ju, Ju)
+    g_ref = jnp.einsum("nki,nk->ni", Ju, r)
+    chi2_ref = jnp.sum(r * r, axis=1)
+
+    A, g, chi2 = fused_system(cfg, pad_coeffs(inp.coeffs), inp.x0, inp.y, w,
+                              u, lo, hi, p_seed, pm, interpret=True)
+    scale = float(jnp.abs(A_ref).max()) + 1.0
+    np.testing.assert_allclose(np.asarray(A), np.asarray(A_ref),
+                               atol=1e-9 * scale, rtol=0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=1e-9 * (float(jnp.abs(g_ref).max()) + 1),
+                               rtol=0)
+    np.testing.assert_allclose(np.asarray(chi2), np.asarray(chi2_ref),
+                               rtol=1e-10)
