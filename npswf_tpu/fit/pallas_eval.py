@@ -20,7 +20,7 @@ one-hot materialization. Numerically this computes the same piecewise cubic
 as ops.spline.spline_eval_grad (same coefficients, same Horner form, same
 support gate, ref :621-635).
 
-Coefficient layout: [N, 4, 256] with the 109 real segments at slots
+Coefficient layout: [N, 4, SEG] with the real segments at slots
 [PAD, PAD+109) and zeros elsewhere (see ``pad_coeffs``); biased window
 offset = fit_lo_bin - ceil(t + x0) + PAD, taken mod SEG. Every bin inside
 the support gate (1 < x - t < ntime-1, ref :629) reads padded index
@@ -39,15 +39,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from npswf_tpu.core.config import NPSConfig
 
-PAD = 64         # left padding (segments -64..-1)
-SEG = 256        # padded segment-plane width
+PAD = 16         # left padding (wrap margin for the barrel shift)
+SEG = 128        # padded segment-plane width: must exceed PAD + 109 (the
+                 # gated window slots are (PAD, PAD+109]) and be a lane-axis
+                 # tile multiple; 128 halves the Horner and roll work of the
+                 # original 256
 KP = 128         # padded fit-bin width (>= nfitbins)
-LANE_TILE = 512
+LANE_TILE = 512  # non-power-of-2 tiles (e.g. 480) compile ~2x slower
 
 
 def pad_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
-    """[N, S, 4] -> [N, 4, 256] padded coefficient planes."""
+    """[N, S, 4] -> [N, 4, SEG] padded coefficient planes."""
     N, S, _ = coeffs.shape
+    if S + PAD > SEG:
+        raise ValueError(f"spline has {S} segments; SEG={SEG} fits at most "
+                         f"{SEG - PAD} (PAD={PAD})")
     planes = jnp.transpose(coeffs, (0, 2, 1))           # [N, 4, S]
     return jnp.pad(planes, ((0, 0), (0, 0), (PAD, SEG - PAD - S)))
 
@@ -81,7 +87,7 @@ def _kernel(cfg: NPSConfig, P: int, coef_ref, tau_ref, x0_ref, amp_ref,
         # shift that lands every gated window slot on its segment; clipping
         # here silently selected wrong segments for t_par + x0 > 74.
         off = jnp.remainder(off, SEG)
-        for bit in range(8):                            # barrel shift left
+        for bit in range(SEG.bit_length() - 1):         # barrel shift left
             # left-shift by step == circular roll by SEG - step (pltpu.roll
             # requires non-negative shifts)
             step = SEG - (1 << bit)
@@ -201,7 +207,7 @@ def _system_kernel(cfg: NPSConfig, P: int, coef_ref, x0_ref, y_ref, w_ref,
         off = (jnp.asarray(cfg.fit_lo_bin + PAD, jnp.int32)
                - ceil_t[:, 0].astype(jnp.int32))
         off = jnp.remainder(off, SEG)
-        for bit in range(8):
+        for bit in range(SEG.bit_length() - 1):
             step = SEG - (1 << bit)
             m = (((off >> bit) & 1) > 0)[:, None]
             sval = jnp.where(m, pltpu.roll(sval, step, axis=1), sval)
