@@ -67,13 +67,20 @@ def _static_response(sigma: float, size_ext: int):
     return resp[:lh_gold], area, lh_gold, posit, bvec
 
 
-def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
+                     aux: jnp.ndarray = None, aux_offset: int = 0):
     """Batched peak search over ``src`` [N, T].
 
     Returns (pos_x [N,P], pos_y [N,P], valid [N,P]) with P = cfg.maxwfpulses,
     ordered by descending source amplitude. pos_x follows the Search() bin
     convention (k + 0.5); invalid slots hold zeros.
+
+    ``aux`` [N, T] (optional): a sibling spectrum sampled per peak at bin
+    clip(round(centroid) + aux_offset, 0, T-1), carried through the ordering
+    sort and returned as a fourth output [N, P] — gather-free (the target
+    bin is always within +-1 of the local max plus the static offset, so
+    shifted slices + selects cover it). Used by find_pulses to read the
+    RAW-signal seed amplitude without a [N, P] gather (ref TEST_2.C:198-200).
     """
     dtype = src.dtype
     N, ssize = src.shape
@@ -199,35 +206,56 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray
     # gather is exactly reproduced by three static shifted slices + selects.
     # (Slots where that window argument fails have accept == False and are
     # masked to -inf below, so their key value is irrelevant.)
-    srcpad = jnp.pad(src, ((0, 0), (shift, size_ext - ssize - shift)))
-    y_prev = jnp.pad(srcpad, ((0, 0), (1, 0)))[:, :-1]   # srcpad[j-1]
-    y_next = jnp.pad(srcpad, ((0, 0), (0, 1)))[:, 1:]    # srcpad[j+1]
     j_idx = jnp.asarray(idx, jnp.int32)
 
-    def _window_select(target_sample):
+    def _window_select(arr, target_sample, cands):
+        """arr[clip-target] via static shifted slices: target_sample + shift
+        is guaranteed to lie in {j + c for c in cands} at every slot whose
+        value is consumed (accept-masked otherwise)."""
+        pad_arr = jnp.pad(arr, ((0, 0), (shift, size_ext - ssize - shift)))
         k_val = target_sample + shift                    # ext-frame target
-        return jnp.where(k_val == j_idx - 1, y_prev,
-                         jnp.where(k_val == j_idx + 1, y_next, srcpad))
+        out = pad_arr                                     # c == 0 default
+        for c in cands:
+            if c == 0:
+                continue
+            if c < 0:
+                sh = jnp.pad(pad_arr, ((0, 0), (-c, 0)))[:, :c]   # arr[j+c]
+            else:
+                sh = jnp.pad(pad_arr, ((0, 0), (0, c)))[:, c:]
+            out = jnp.where(k_val == j_idx + c, sh, out)
+        return out
 
     a_int = jnp.clip(jnp.floor(a).astype(jnp.int32), 0, ssize - 1)
-    key = _window_select(a_int)
+    key = _window_select(src, a_int, (-1, 0, 1))
     # pos_y's value at the ROUNDED centroid, computed full-width the same
     # way so the final per-slot extraction needs no gather either
     k_round = jnp.clip(jnp.floor(a + 0.5).astype(jnp.int32), 0, ssize - 1)
-    pos_y_full = _window_select(k_round)
+    pos_y_full = _window_select(src, k_round, (-1, 0, 1))
 
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     keys_masked = jnp.where(accept, key, neg_inf)
-    # one stable multi-operand sort carries (a, pos_y) along with the key:
-    # descending amplitude, ties in scan order — identical ordering to
+    # one stable multi-operand sort carries (a, pos_y[, aux]) along with the
+    # key: descending amplitude, ties in scan order — identical ordering to
     # top_k + per-slot gathers, without the [N, P] gathers
-    sort_neg, a_srt, y_srt = jax.lax.sort(
-        (-keys_masked, a, pos_y_full), dimension=1, num_keys=1)
+    operands = [-keys_masked, a, pos_y_full]
+    if aux is not None:
+        tgt = jnp.clip(k_round + aux_offset, 0, ssize - 1)
+        cands = (aux_offset - 1, aux_offset, aux_offset + 1)
+        # the clip can also land the target on the window's own bins
+        if aux_offset < 0:
+            cands = cands + (0, 1)
+        elif aux_offset > 0:
+            cands = cands + (-1, 0)
+        operands.append(_window_select(aux.astype(dtype), tgt, cands))
+    srt = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
+    sort_neg, a_srt, y_srt = srt[0], srt[1], srt[2]
     valid = sort_neg[:, :P] < jnp.asarray(jnp.inf, dtype)             # [N, P]
     a_sel = a_srt[:, :P]
     k_sel = jnp.floor(a_sel + 0.5)
     pos_x = jnp.where(valid, k_sel + 0.5, 0.0)
     pos_y = jnp.where(valid, y_srt[:, :P], 0.0)
+    if aux is not None:
+        return pos_x, pos_y, valid, jnp.where(valid, srt[3][:, :P], 0.0)
     return pos_x, pos_y, valid
 
 
@@ -261,15 +289,17 @@ def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
     # The reference stores the filter into a float32-binned TH1F (ref :173-179);
     # quantize identically before the search.
     mf_search = mf.astype(jnp.float32).astype(mf.dtype)
-    pos_x, pos_y, valid = tspectrum_search(cfg, mf_search)
+    # seed amplitude reads the RAW signal at floor(xpos + 0.5) =
+    # floor(k_round + 0.5 - 2 + 0.5) = k_round - 1 (ref :194-200); carried
+    # through the search's ordering sort instead of a [N, P] gather
+    pos_x, pos_y, valid, raw = tspectrum_search(
+        cfg, mf_search, aux=signal, aux_offset=-1)
     xpos = pos_x - 2.0                                   # -2 bin shift (ref :194)
     gate = (valid
             & (xpos > max(cfg.mfstart, 0))
             & (xpos < min(cfg.mfend, T - 1))
             & (pos_y > cfg.mfthres)
             & present[:, None])
-    ti = jnp.clip(jnp.floor(xpos + 0.5).astype(jnp.int32), 0, T - 1)
-    raw = jnp.take_along_axis(signal, ti, axis=1)
     amp = jnp.abs(raw - minsignal[:, None])
     # stable compaction: accepted slots first, original (amplitude-desc)
     # order — one multi-operand stable sort instead of argsort + three

@@ -164,6 +164,24 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     from npswf_tpu.utils.timers import device_trace
     trace_ctx = device_trace(profile_dir)
     trace_ctx.__enter__()
+    def write_part(item):
+        nonlocal done_events
+        lo, hi, n_valid, d_pad, out = item
+        with timers.stage("write"):
+            # np.asarray inside WFWriter blocks on the device results here —
+            # by which time the NEXT batch is already dispatched, so the
+            # remote round-trip and part writing hide behind device compute
+            w = WFWriter(cfg)
+            w.add_batch(out, d_pad, n_valid=n_valid)
+            w.finalize(os.path.join(parts_dir, f"part_{lo:09d}_{hi:09d}.npz"))
+        progress.mark(lo, hi)
+        done_events += n_valid
+        if done_events % progress_every < batch_size:
+            dt_el = time.perf_counter() - t_start
+            log.info(" Entry = %d  elapsed=%.2fs (%.0f ev/s)",
+                     lo + n_valid, dt_el, done_events / max(dt_el, 1e-9))
+
+    inflight = None   # one dispatched-but-unwritten batch (double buffering)
     for i, (lo, hi) in enumerate(pending):
         d = fut.result()
         if i + 1 < len(pending):
@@ -179,18 +197,12 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 log.warning("event %s: %s", d.evt[e], kind)
         d_pad = _pad_decoded(cfg, d, batch_size)
         with timers.stage("pipeline"):
-            out = pipeline(_to_event_batch(cfg, d_pad, dtype))
-            out = out._replace(wfnpulse=np.asarray(out.wfnpulse))  # sync
-        with timers.stage("write"):
-            w = WFWriter(cfg)
-            w.add_batch(out, d_pad, n_valid=n_valid)
-            w.finalize(os.path.join(parts_dir, f"part_{lo:09d}_{hi:09d}.npz"))
-        progress.mark(lo, hi)
-        done_events += n_valid
-        if done_events % progress_every < batch_size:
-            dt_el = time.perf_counter() - t_start
-            log.info(" Entry = %d  elapsed=%.2fs (%.0f ev/s)",
-                     lo + n_valid, dt_el, done_events / max(dt_el, 1e-9))
+            out = pipeline(_to_event_batch(cfg, d_pad, dtype))  # async dispatch
+        if inflight is not None:
+            write_part(inflight)
+        inflight = (lo, hi, n_valid, d_pad, out)
+    if inflight is not None:
+        write_part(inflight)
     trace_ctx.__exit__(None, None, None)
     pool.shutdown()
 
