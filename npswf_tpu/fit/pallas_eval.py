@@ -11,8 +11,8 @@ facts of the problem:
    all 90 bins, and the needed segments form a contiguous window;
 2. evaluating the cubic polynomial at a constant u over ALL (padded) segments
    is a pure elementwise op over a [lanes, 256] VMEM tile; the contiguous
-   window is then extracted with a barrel shifter — 8 static pltpu.roll
-   stages with per-lane bit selects.
+   window is then extracted with a barrel shifter — log2(SEG) static
+   pltpu.roll stages with per-lane bit selects.
 
 Per tile the kernel reads the lane's padded coefficient planes once and
 writes f(x) and the per-pulse value/derivative windows; no gathers, no

@@ -163,3 +163,43 @@ def test_spline_eval_gate(cfg, cal):
     fd = (spline_eval_np(cal.spline_coeffs[b], cal.spline_x0[b], tnp[gate] + h)
           - spline_eval_np(cal.spline_coeffs[b], cal.spline_x0[b], tnp[gate] - h)) / (2 * h)
     np.testing.assert_allclose(dval[gate], fd, atol=1e-5)
+
+
+def test_find_pulses_edge_peaks_match_golden(cfg, cal):
+    """Pulses jammed against both spectrum edges: exercises the centroid
+    edge clips in the gather-free window selects (key / pos_y / raw-aux),
+    which must still reproduce the scalar oracle exactly."""
+    rng = np.random.default_rng(77)
+    T = cfg.ntime
+    n_lanes = 24
+    x = np.arange(T, dtype=np.float64)
+    sig = np.zeros((n_lanes, T))
+    blocks = rng.integers(0, cfg.nblocks, n_lanes)
+    from npswf_tpu.core.calibration import spline_eval_np
+    for i, b in enumerate(blocks):
+        sig[i] = 0.5 * rng.standard_normal(T)
+        # one pulse near each edge of the search window plus one mid-window;
+        # edge centroids trigger the clip paths in the window selects
+        for t0 in (2.0, 11.0, 55.0, 97.0, 107.0):
+            arg = x - (t0 - cal.timeref[b])
+            gate = (arg > cfg.spline_gate_lo) & (arg < T - 1)
+            sig[i] += np.where(gate, rng.uniform(60, 160) * spline_eval_np(
+                cal.spline_coeffs[b], cal.spline_x0[b], arg), 0.0)
+    mins = sig.min(axis=1)
+    kern = cal.mfkern_rev[blocks]
+    present = np.ones(n_lanes, bool)
+    res = find_pulses(cfg, jnp.asarray(sig), jnp.asarray(mins),
+                      jnp.asarray(kern), jnp.asarray(present))
+    npulse = np.asarray(res.npulse)
+    times = np.asarray(res.times)
+    amps = np.asarray(res.amps)
+    total = 0
+    for lane in range(n_lanes):
+        b = blocks[lane]
+        gn, gt, ga = find_pulses_golden(cfg, sig[lane], mins[lane],
+                                        cal.mfkern_rev[b], True)
+        assert npulse[lane] == gn, f"lane {lane}"
+        np.testing.assert_allclose(times[lane, :gn], gt, atol=0)
+        np.testing.assert_allclose(amps[lane, :gn], ga, rtol=1e-12)
+        total += gn
+    assert total > 30
