@@ -212,7 +212,6 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         from npswf_tpu.ops.pallas_kernels import pallas_enabled
         model_name = "spline_ref_pallas" if (
             cfg.model_name == "spline_ref" and pallas_enabled(cfg)
-            and Pb <= cfg.fit_small_pulses
         ) else cfg.model_name
         # An all-inactive bucket still pays its initial system evaluation
         # (for the wide bucket that is a [cap, P*K] spline gather + 25-wide

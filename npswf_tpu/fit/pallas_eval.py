@@ -117,7 +117,9 @@ def fused_eval(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
     N, P = t_par.shape
     K = cfg.nfitbins
     dtype = coeffs_pad.dtype
-    tile = min(LANE_TILE, N)
+    # wide parameter vectors blow up the per-tile output block ([tile, P,
+    # KP] x2): shrink the lane tile so the kernel stays inside VMEM
+    tile = min(LANE_TILE if P <= 4 else 128, N)
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
     if Np != N:
