@@ -90,17 +90,25 @@ def main() -> int:
           f"({E / dt:.1f} ev/s)", file=sys.stderr)
 
     # production-shape diagnostic (stderr only): realistic sparse occupancy
+    # AND sparse readout presence (real events read out only the hit region)
+    # with the matching search-lane compaction enabled
     truth_s = make_events(cfg, cal, E, occupancy=0.05, max_pulses=2, seed=8)
+    pres_s = truth_s.npulse > 0
+    cfg_s = cfg.replace(search_capacity=max(1024, E * cfg.nblocks // 8))
+    pipeline_s = make_pipeline(cfg_s, calib)
     batch_s = EventBatch(
         signal=jnp.asarray(truth_s.signal.astype(np.float32)),
-        pres=jnp.asarray(truth_s.pres.astype(bool)),
+        pres=jnp.asarray(pres_s),
         corr_time_HMS=batch.corr_time_HMS, evt=batch.evt, runnum=batch.runnum)
-    _ = np.asarray(pipeline(batch_s).chi2)
+    o_s = pipeline_s(batch_s)
+    _ = np.asarray(o_s.chi2)
+    assert int(o_s.n_search_dropped) == 0
     t0 = time.perf_counter()
     for _ in range(iters):
-        _ = np.asarray(pipeline(batch_s).chi2)
+        _ = np.asarray(pipeline_s(batch_s).chi2)
     dts = (time.perf_counter() - t0) / iters
-    print(f"sparse (occupancy 0.05): {dts * 1e3:.1f} ms/batch "
+    print(f"sparse (occupancy 0.05, sparse readout, search-compacted): "
+          f"{dts * 1e3:.1f} ms/batch "
           f"({E / dts:.1f} ev/s, {E * cfg.nblocks / dts:.0f} blocks scanned/s)",
           file=sys.stderr)
 

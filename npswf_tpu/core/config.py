@@ -116,6 +116,16 @@ class NPSConfig:
     compute_dtype: str = "float32"   # on-device compute dtype
     solver_dtype: str = "float32"    # LM linear-algebra dtype
     fit_capacity: int = 0            # max fitted lanes per batch; 0 = all lanes
+    search_capacity: int = 0         # max searched lanes per batch (matched
+                                     # filter + peak search run on a compacted
+                                     # present-lane subset); 0 = all lanes.
+                                     # Real NPS events hit ~1-3% of the 1080
+                                     # blocks (the reference loops only over
+                                     # pres&&preswf blocks, TEST_2.C:944);
+                                     # overflow lanes get npulse=0 and are
+                                     # counted in n_search_dropped — set the
+                                     # capacity to the per-batch present-lane
+                                     # bound of your data, never below it
     fit_chunk: int = 8640            # LM sub-batch size (lax.map chunks).
                                      # Fewer chunks = fewer fixed-cost
                                      # stage-2 retry rounds; 8640 = half the

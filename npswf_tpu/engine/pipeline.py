@@ -84,6 +84,8 @@ class PipelineOutput(NamedTuple):
     n_high_pulse: jnp.ndarray    # [] i32 — lanes with npulse > maxwfpulses-2
                                  # (the reference's excessive-pulse warning,
                                  # ref TEST_2.C:209-213)
+    n_search_dropped: jnp.ndarray  # [] i32 — present lanes beyond
+                                   # search_capacity (no silent cap)
 
 
 def _gather_lanes(arr, sel):
@@ -137,11 +139,28 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     kern_flat = jnp.broadcast_to(kern[None], (E, B, cfg.mfwidth)).reshape(N, -1)
 
     # ---- peak search -------------------------------------------------
-    ps = find_pulses(cfg, flat_sig, minsignal, kern_flat, flat_present)
-    npulse = ps.npulse                                          # [N]
-    seed_t_abs = ps.times                                       # [N, P] bins
-    seed_a = ps.amps
-    pulse_mask = ps.valid
+    # Optionally compacted to the present lanes: production events light up
+    # ~1-3% of the calorimeter, and the reference only loops over
+    # pres && preswf blocks (ref :944); searching absent lanes is masked
+    # dead work under XLA unless they are gathered away.
+    cap_s = min(cfg.search_capacity, N) if cfg.search_capacity > 0 else 0
+    n_search_dropped = jnp.asarray(0, jnp.int32)
+    if 0 < cap_s < N:
+        sel_s = jnp.argsort(~flat_present, stable=True)[:cap_s]
+        ps_c = find_pulses(cfg, flat_sig[sel_s], minsignal[sel_s],
+                           kern_flat[sel_s], flat_present[sel_s])
+        npulse = jnp.zeros((N,), jnp.int32).at[sel_s].set(ps_c.npulse)
+        seed_t_abs = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.times)
+        seed_a = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.amps)
+        pulse_mask = jnp.zeros((N, P), bool).at[sel_s].set(ps_c.valid)
+        n_search_dropped = jnp.maximum(
+            jnp.sum(flat_present) - cap_s, 0).astype(jnp.int32)
+    else:
+        ps = find_pulses(cfg, flat_sig, minsignal, kern_flat, flat_present)
+        npulse = ps.npulse                                      # [N]
+        seed_t_abs = ps.times                                   # [N, P] bins
+        seed_a = ps.amps
+        pulse_mask = ps.valid
 
     # ---- cluster gate ------------------------------------------------
     gate = cluster_gate(cfg, signal, timeref, timerefacc,
@@ -309,6 +328,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         n_fail = jax.lax.psum(n_fail, ax)
         n_dropped = jax.lax.psum(n_dropped, ax)
         n_high = jax.lax.psum(n_high, ax)
+        n_search_dropped = jax.lax.psum(n_search_dropped, ax)
 
     return PipelineOutput(
         wfnpulse=npulse.reshape(E, B),
@@ -330,7 +350,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         n_fit_success=n_succ,
         n_fit_failure=n_fail,
         n_fit_dropped=n_dropped,
-        n_high_pulse=n_high)
+        n_high_pulse=n_high,
+        n_search_dropped=n_search_dropped)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -44,6 +44,7 @@ class MergeResult:
     n_oversize: int
     n_truncated: int
     n_high_pulse: int
+    n_search_dropped: int
 
 
 def _npy_meta(zf: zipfile.ZipFile, member: str) -> Tuple[tuple, np.dtype]:
@@ -87,7 +88,7 @@ def merge_parts(part_paths: Sequence[str], out_path: str,
     wf_counts: List[np.ndarray] = []
     h_counts: List[np.ndarray] = []
     h1 = h2 = None
-    counters = np.zeros(7, np.int64)
+    counters = np.zeros(8, np.int64)
     # column -> (total_shape, dtype); order of first appearance
     col_meta: Dict[str, Tuple[list, np.dtype]] = {}
     for p in part_paths:
@@ -160,4 +161,4 @@ def merge_parts(part_paths: Sequence[str], out_path: str,
         n_fit_success=int(counters[0]), n_fit_failure=int(counters[1]),
         n_fit_dropped=int(counters[2]), n_bad_slot=int(counters[3]),
         n_oversize=int(counters[4]), n_truncated=int(counters[5]),
-        n_high_pulse=int(counters[6]))
+        n_high_pulse=int(counters[6]), n_search_dropped=int(counters[7]))

@@ -84,6 +84,7 @@ class WFWriter:
     n_oversize: int = 0
     n_truncated: int = 0
     n_high_pulse: int = 0
+    n_search_dropped: int = 0
 
     def _append(self, name: str, arr: np.ndarray) -> None:
         self._cols.setdefault(name, []).append(np.asarray(arr))
@@ -134,6 +135,7 @@ class WFWriter:
         self.n_fit_failure += int(out.n_fit_failure)
         self.n_fit_dropped += int(out.n_fit_dropped)
         self.n_high_pulse += int(getattr(out, "n_high_pulse", 0))
+        self.n_search_dropped += int(getattr(out, "n_search_dropped", 0))
         bad = np.asarray(decoded.bad_slot)[:n]
         self.n_bad_slot += int(np.sum(bad >= 0))
         self.n_oversize += int(np.sum(bad == -3))
@@ -155,6 +157,8 @@ class WFWriter:
                     self.n_oversize += int(v[4])
                     self.n_truncated += int(v[5])
                     self.n_high_pulse += int(v[6])
+                if v.shape[0] > 7:   # search-capacity counter
+                    self.n_search_dropped += int(v[7])
             elif k == "wf_offsets":
                 self._append("wf_counts", np.diff(v))
             elif k == "h_offsets":
@@ -181,7 +185,7 @@ class WFWriter:
         cols["fit_counters"] = np.array(
             [self.n_fit_success, self.n_fit_failure, self.n_fit_dropped,
              self.n_bad_slot, self.n_oversize, self.n_truncated,
-             self.n_high_pulse], np.int64)
+             self.n_high_pulse, self.n_search_dropped], np.int64)
         for k, v in self.payload.items():
             cols[f"payload_{k}"] = v
         np.savez_compressed(path, **cols)

@@ -93,7 +93,7 @@ def _output_specs(cfg: NPSConfig) -> PipelineOutput:
         ampl=eb, ener=eb, integ=eb, bkg=eb, noise=eb,
         enertot=e, integtot=e,
         n_fit_success=P(), n_fit_failure=P(), n_fit_dropped=P(),
-        n_high_pulse=P())
+        n_high_pulse=P(), n_search_dropped=P())
 
 
 def shard_calibration(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

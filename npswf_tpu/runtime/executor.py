@@ -58,6 +58,7 @@ class RunResult:
     n_oversize: int = 0      # events skipped by the Ndata guard (ref :830-836)
     n_truncated: int = 0     # events whose stream ended mid-block
     n_high_pulse: int = 0    # lanes with npulse > maxwfpulses-2 (ref :209-213)
+    n_search_dropped: int = 0  # present lanes beyond cfg.search_capacity
 
 
 def _pad_decoded(cfg: NPSConfig, d: DecodedBatch, target: int) -> DecodedBatch:
@@ -231,13 +232,17 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
         n_bad_slot=merged.n_bad_slot,
         n_oversize=merged.n_oversize,
         n_truncated=merged.n_truncated,
-        n_high_pulse=merged.n_high_pulse)
+        n_high_pulse=merged.n_high_pulse,
+        n_search_dropped=getattr(merged, "n_search_dropped", 0))
     log.info("Total failed fits: %d total fits succeed: %d (dropped %d)",
              res.n_fit_failure, res.n_fit_success, res.n_fit_dropped)
-    if res.n_bad_slot or res.n_oversize or res.n_truncated or res.n_high_pulse:
+    if (res.n_bad_slot or res.n_oversize or res.n_truncated
+            or res.n_high_pulse or res.n_search_dropped):
         log.warning(
             "decode/search guards: %d bad-slot, %d oversize-skipped, "
-            "%d truncated events; %d high-pulse-count blocks",
-            res.n_bad_slot, res.n_oversize, res.n_truncated, res.n_high_pulse)
+            "%d truncated events; %d high-pulse-count blocks; "
+            "%d search-capacity-dropped lanes",
+            res.n_bad_slot, res.n_oversize, res.n_truncated,
+            res.n_high_pulse, res.n_search_dropped)
     log.info(timers.report())
     return res

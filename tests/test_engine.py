@@ -175,3 +175,51 @@ def test_executor_with_mesh(cfg, cal, tmp_path):
     np.testing.assert_allclose(a["chi2"], b["chi2"], rtol=1e-8, atol=1e-8)
     np.testing.assert_allclose(a["wftime_flat"], b["wftime_flat"],
                                rtol=1e-8, atol=1e-8)
+
+
+def test_search_capacity_equivalence_and_overflow(small_cfg, small_cal):
+    """Search-lane compaction (cfg.search_capacity) is result-identical when
+    the capacity covers every present lane, and counts (never silently
+    drops) the overflow when it does not."""
+    import jax
+    from npswf_tpu.utils.synthetic import make_events
+    cfg = small_cfg
+    E = 4
+    truth = make_events(cfg, small_cal, E, occupancy=0.4, max_pulses=2,
+                        pileup_prob=0.3, seed=41)
+    # make readout presence itself sparse (make_events marks every block
+    # present; real events read out only the hit region, ref :854-889)
+    rng = np.random.default_rng(43)
+    pres = truth.pres.astype(bool) & (rng.random((E, cfg.nblocks)) < 0.6)
+    batch = EventBatch(signal=jnp.asarray(truth.signal),
+                       pres=jnp.asarray(pres),
+                       corr_time_HMS=jnp.zeros(E),
+                       evt=jnp.arange(E), runnum=jnp.zeros(E))
+    calib = {k: jnp.asarray(v) for k, v in
+             small_cal.device_arrays(cfg).items()}
+    N = E * cfg.nblocks
+    n_present = int((pres & np.asarray(calib["preswf"])[None, :]).sum())
+    assert 0 < n_present < N
+
+    base = jax.jit(lambda b: process_batch(cfg, calib, b))(batch)
+    cfg_cap = cfg.replace(search_capacity=n_present + 3)
+    capped = jax.jit(lambda b: process_batch(cfg_cap, calib, b))(batch)
+    assert int(np.asarray(capped.n_search_dropped)) == 0
+    np.testing.assert_array_equal(np.asarray(base.wfnpulse),
+                                  np.asarray(capped.wfnpulse))
+    np.testing.assert_array_equal(np.asarray(base.wftime),
+                                  np.asarray(capped.wftime))
+    np.testing.assert_array_equal(np.asarray(base.chi2),
+                                  np.asarray(capped.chi2))
+    np.testing.assert_array_equal(np.asarray(base.fit_converged),
+                                  np.asarray(capped.fit_converged))
+
+    # capacity below the present count: overflow is counted, processed
+    # lanes still match the uncompacted results lane-for-lane
+    cap = max(2, n_present - 5)
+    cfg_small = cfg.replace(search_capacity=cap)
+    over = jax.jit(lambda b: process_batch(cfg_small, calib, b))(batch)
+    assert int(np.asarray(over.n_search_dropped)) == n_present - cap
+    searched = np.asarray(over.wfnpulse) > 0
+    np.testing.assert_array_equal(np.asarray(over.wfnpulse)[searched],
+                                  np.asarray(base.wfnpulse)[searched])
