@@ -166,5 +166,18 @@ def main() -> int:
     return 0
 
 
+def main_with_retry() -> int:
+    """The remote TPU tunnel occasionally aborts a run transiently
+    ('TPU backend error (Aborted)'); one retry in a fresh attempt keeps a
+    driver-recorded benchmark from failing on an environment hiccup."""
+    try:
+        return main()
+    except Exception as e:  # noqa: BLE001 — diagnose, retry once, re-raise
+        print(f"bench attempt failed ({type(e).__name__}: {e}); "
+              "retrying once", file=sys.stderr)
+        time.sleep(10.0)
+        return main()
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())

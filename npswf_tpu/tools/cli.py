@@ -68,6 +68,8 @@ def cmd_run(args) -> int:
     cfg = config_for_run(args.run)
     if args.fit_capacity:
         cfg = cfg.replace(fit_capacity=args.fit_capacity)
+    if args.search_capacity:
+        cfg = cfg.replace(search_capacity=args.search_capacity)
     if args.model:
         cfg = cfg.replace(model_name=args.model)
     cal = _load_calibration(cfg, args)
@@ -173,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--block-shards", type=int, default=1)
     p.add_argument("--fit-capacity", type=int, default=0)
+    p.add_argument("--search-capacity", type=int, default=0,
+                   help="max searched lanes per batch (sparse-readout "
+                        "compaction); present lanes beyond it are counted "
+                        "in n_search_dropped, never silently dropped")
     p.add_argument("--range", type=int, nargs=2, metavar=("LO", "HI"),
                    help="process only events [LO, HI) of the segment "
                         "(the reference's df.Range subset mode)")
