@@ -240,12 +240,11 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
     operands = [-keys_masked, a, pos_y_full]
     if aux is not None:
         tgt = jnp.clip(k_round + aux_offset, 0, ssize - 1)
-        cands = (aux_offset - 1, aux_offset, aux_offset + 1)
-        # the clip can also land the target on the window's own bins
-        if aux_offset < 0:
-            cands = cands + (0, 1)
-        elif aux_offset > 0:
-            cands = cands + (-1, 0)
+        # unclipped targets live in {j + aux_offset +- 1}; the edge clip can
+        # only pull them back toward the local max (c -> 0), so the reachable
+        # set is every c between min(0, o-1) and max(0, o+1)
+        cands = tuple(range(min(0, aux_offset - 1),
+                            max(0, aux_offset + 1) + 1))
         operands.append(_window_select(aux.astype(dtype), tgt, cands))
     srt = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
     sort_neg, a_srt, y_srt = srt[0], srt[1], srt[2]
