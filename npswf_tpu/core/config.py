@@ -137,6 +137,9 @@ class NPSConfig:
     spline_mode: str = "auto"        # segment select: "auto" | "gather" |
                                      # "onehot" (MXU); auto = onehot off-CPU
     use_pallas: bool = True          # Pallas kernels (auto-disabled on CPU)
+    use_fused_neq: bool = False      # two-call LM system: Pallas eval +
+                                     # Pallas normal equations (replaces the
+                                     # XLA stack/transpose/conv-einsum glue)
     use_fused_system: bool = False   # one-call Pallas LM normal equations.
                                      # 2.4x faster than fused-eval + XLA
                                      # einsums when chained standalone, but

@@ -149,6 +149,24 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
             return fused_system(cfg, aux["coeffs_pad"], inp.x0, inp.y, w,
                                 u, lo, hi, p_seed, param_mask,
                                 interpret=cfg.interpret_pallas)
+    elif (cfg.use_fused_neq and inp.t_seed.shape[1] <= 4
+          and getattr(model, "name", "") == "spline_ref_pallas"):
+        # narrow systems only: at P=12 XLA stages the kernel's [N, P, KP]
+        # operands in scoped VMEM and OOMs (the wide bucket keeps XLA glue)
+        # two Pallas calls: the fused model eval plus a normal-equations
+        # kernel consuming its outputs — removes the XLA stack/transpose/
+        # conv-einsum glue without the operand staging of the one-call path
+        from npswf_tpu.fit.pallas_eval import fused_eval, fused_neq
+
+        def system(u):
+            p = _to_physical(u, lo, hi, p_seed, param_mask)
+            f, jt, ja = fused_eval(cfg, aux["coeffs_pad"], inp.x0,
+                                   p[:, 1::2], p[:, 2::2], p[:, 0],
+                                   inp.pulse_mask,
+                                   interpret=cfg.interpret_pallas)
+            dd = _dp_du(u, lo, hi, param_mask)
+            return fused_neq(cfg, inp.y, w, f, jt, ja, dd,
+                             interpret=cfg.interpret_pallas)
     else:
         def system(u):
             p = _to_physical(u, lo, hi, p_seed, param_mask)

@@ -298,3 +298,78 @@ def fused_system(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
     g = out[:, pos:pos + M]
     chi2 = out[:, pos + M]
     return A, g, chi2
+
+
+# ----------------------------------------------------------------------
+# Normal-equations kernel: consumes the fused_eval outputs and produces
+# (A, g, chi2) without the XLA stack/transpose/conv-einsum machinery.
+# ----------------------------------------------------------------------
+def _neq_kernel(cfg: NPSConfig, P: int, y_ref, w_ref, f_ref, jt_ref, ja_ref,
+                dpdu_ref, out_ref):
+    L = y_ref.shape[0]
+    M = 1 + 2 * P
+    w = w_ref[:, :]
+    r = (y_ref[:, :] - f_ref[:, :]) * w
+    cols = [jnp.broadcast_to(dpdu_ref[:, 0:1], r.shape) * w]
+    for p in range(P):
+        cols.append(jt_ref[:, p, :] * dpdu_ref[:, 1 + 2 * p:2 + 2 * p] * w)
+        cols.append(ja_ref[:, p, :] * dpdu_ref[:, 2 + 2 * p:3 + 2 * p] * w)
+    outs = []
+    for i in range(M):
+        for j in range(i, M):
+            outs.append(jnp.sum(cols[i] * cols[j], axis=1, keepdims=True))
+    for i in range(M):
+        outs.append(jnp.sum(cols[i] * r, axis=1, keepdims=True))
+    outs.append(jnp.sum(r * r, axis=1, keepdims=True))
+    out_ref[:, :len(outs)] = jnp.concatenate(outs, axis=1)
+
+
+def fused_neq(cfg: NPSConfig, y, w, f, jt, ja, dpdu, interpret: bool = False):
+    """(A [N,M,M], g [N,M], chi2 [N]) from eval outputs; w zero-padded here."""
+    N, P, K = jt.shape
+    M = 1 + 2 * P
+    dtype = y.dtype
+    nout = M * (M + 1) // 2 + M + 1
+    wout = -(-nout // 128) * 128
+    tile = min(LANE_TILE if P <= 4 else 128, N)
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+
+    def padN(arr):
+        if Np == N:
+            return arr
+        return jnp.pad(arr, ((0, Np - N),) + ((0, 0),) * (arr.ndim - 1))
+
+    yp = jnp.pad(y, ((0, 0), (0, KP - K)))
+    wp = jnp.pad(w, ((0, 0), (0, KP - K)))
+    fp = jnp.pad(f, ((0, 0), (0, KP - K)))
+    jtp = jnp.pad(jt, ((0, 0), (0, 0), (0, KP - K)))
+    jap = jnp.pad(ja, ((0, 0), (0, 0), (0, KP - K)))
+    out = pl.pallas_call(
+        functools.partial(_neq_kernel, cfg, P),
+        out_shape=jax.ShapeDtypeStruct((Np, wout), dtype),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, KP), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P, KP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, P, KP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, M), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, wout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padN(yp), padN(wp), padN(fp), padN(jtp), padN(jap), padN(dpdu))
+    out = out[:N]
+    tri = {}
+    pos = 0
+    for i in range(M):
+        for j in range(i, M):
+            tri[(i, j)] = tri[(j, i)] = pos
+            pos += 1
+    A = jnp.stack([out[:, tri[(i, j)]] for i in range(M) for j in range(M)],
+                  axis=1).reshape(N, M, M)
+    return A, out[:, pos:pos + M], out[:, pos + M]

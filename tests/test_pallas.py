@@ -137,3 +137,23 @@ def test_pallas_fused_system_matches_generic(cfg, cal):
                                rtol=0)
     np.testing.assert_allclose(np.asarray(chi2), np.asarray(chi2_ref),
                                rtol=1e-10)
+
+
+def test_fused_neq_matches_generic_solver(cfg, cal):
+    """The two-call (eval + normal-equations) Pallas system must reproduce
+    the generic solver's results to fp64 rounding."""
+    from tests.test_fit import _build_inputs
+    from npswf_tpu.fit.lm import fit_waveforms
+    icfg = cfg.replace(interpret_pallas=True)
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=24, seed=9, max_pulses=2,
+                            seed_jitter=2.5)
+    P = 2
+    inp = inp._replace(t_seed=inp.t_seed[:, :P], a_seed=inp.a_seed[:, :P],
+                       pulse_mask=inp.pulse_mask[:, :P])
+    a = fit_waveforms(icfg, inp, "spline_ref_pallas")
+    b = fit_waveforms(icfg.replace(use_fused_neq=True), inp,
+                      "spline_ref_pallas")
+    np.testing.assert_array_equal(np.asarray(a.converged),
+                                  np.asarray(b.converged))
+    np.testing.assert_allclose(np.asarray(a.params), np.asarray(b.params),
+                               rtol=1e-10, atol=1e-10)
