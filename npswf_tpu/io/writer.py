@@ -31,6 +31,20 @@ from npswf_tpu.io import native
 H1_BINS, H1_LO, H1_HI = 200, -50.0, 50.0
 H2_BINS, H2_LO, H2_HI = 200, -100.0, 100.0
 
+# per-event column schema (name -> dtype): the 17 reference Snapshot columns
+# plus the documented Samp* extras. A zero-event run must still emit every
+# column so downstream readers (plotstats, parity) see the full schema.
+WF_COLUMNS = {
+    "wftime_flat": np.float64, "wfampl_flat": np.float64,
+    "h1time_flat": np.float64, "h2time_flat": np.float64,
+    "chi2": np.float64, "ampl": np.float64, "amplwf": np.float64,
+    "wfnpulse": np.int32, "timewf": np.float64, "pedwf": np.float64,
+    "enertot": np.float64, "integtot": np.float64, "pres": np.int32,
+    "corr_time_HMS": np.float64, "Sampampl": np.float64,
+    "Samptime": np.float64, "Sampener": np.float64, "Sampped": np.float64,
+    "evt": np.int64, "runnum": np.int64,
+}
+
 
 def flatten_pulses_np(npulse: np.ndarray, times: np.ndarray, amps: np.ndarray):
     """numpy fallback for the ragged flatten. [E,B] i32, [E,B,P] -> flat."""
@@ -171,6 +185,10 @@ class WFWriter:
     def finalize(self, path: str) -> Dict[str, np.ndarray]:
         cols = {k: np.concatenate(v) if v else np.zeros(0)
                 for k, v in self._cols.items()}
+        # zero-event runs: emit the full (empty) schema so readers work
+        for name, dt in WF_COLUMNS.items():
+            if name not in cols:
+                cols[name] = np.zeros(0, dt)
         E = cols["evt"].shape[0]
         for key in ("wf", "h"):
             counts = cols.pop(f"{key}_counts", np.zeros(E, np.int64))

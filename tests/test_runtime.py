@@ -117,3 +117,35 @@ def test_diagnostics_plots(cfg, synth_paths, tmp_path):
     n = make_event_plots(out, seg_path, cal_path, outdir, events=None)
     assert n > 0
     assert len(os.listdir(outdir)) == n
+
+
+def test_empty_and_single_event_segments(small_cfg, small_cal, tmp_path):
+    """Degenerate segment sizes: zero events (no parts to merge) and one
+    event (padding-dominated batch) must both produce valid WF files."""
+    from npswf_tpu.io.rawstream import build_segment, encode_event_stream
+    from npswf_tpu.io.writer import read_wf
+    from npswf_tpu.runtime.executor import run_segment
+    from npswf_tpu.utils.synthetic import make_events
+
+    cfg = small_cfg
+    seg0 = build_segment(cfg, [], [], evt=np.zeros(0), runnum=np.zeros(0))
+    out0 = str(tmp_path / "wf_empty.npz")
+    res0 = run_segment(cfg, small_cal, seg0, out0, batch_size=4)
+    assert res0.n_events == 0 and res0.n_fit_success == 0
+    wf0 = read_wf(out0)
+    assert wf0["evt"].shape[0] == 0
+
+    truth = make_events(cfg, small_cal, 1, occupancy=0.5, seed=3)
+    streams = [encode_event_stream(cfg, truth.signal[0],
+                                   truth.pres[0].astype(bool))]
+    hits = [{k: np.zeros(0) for k in
+             ("adc_counter", "pulse_time", "pulse_time_raw",
+              "pulse_amp", "pulse_int", "pulse_ped")}]
+    seg1 = build_segment(cfg, streams, hits, evt=np.asarray([7.0]),
+                         runnum=np.asarray([3000.0]))
+    out1 = str(tmp_path / "wf_one.npz")
+    res1 = run_segment(cfg, small_cal, seg1, out1, batch_size=4)
+    assert res1.n_events == 1
+    wf1 = read_wf(out1)
+    assert wf1["evt"].shape[0] == 1 and int(wf1["evt"][0]) == 7
+    assert res1.n_fit_success > 0
