@@ -246,6 +246,10 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
         cands = tuple(range(min(0, aux_offset - 1),
                             max(0, aux_offset + 1) + 1))
         operands.append(_window_select(aux.astype(dtype), tgt, cands))
+    # accepted peaks only exist on the in_range window [shift, shift+T):
+    # sorting just those columns is exact (outside slots are -inf-masked
+    # anyway) and trims ~20% off the multi-operand sort
+    operands = [op[:, shift:shift + ssize] for op in operands]
     srt = jax.lax.sort(tuple(operands), dimension=1, num_keys=1)
     sort_neg, a_srt, y_srt = srt[0], srt[1], srt[2]
     valid = sort_neg[:, :P] < jnp.asarray(jnp.inf, dtype)             # [N, P]

@@ -115,3 +115,38 @@ def test_lm_failure_lanes_also_fail_scipy_or_are_marginal(cfg, cal):
         assert scipy_chi2 > 2.0 * K or scipy_chi2 > 0.05 * seed_chi2, (
             f"lane {i}: scipy easily solved a lane we failed "
             f"(chi2 {scipy_chi2} from seed {seed_chi2})")
+
+
+def test_lm_wide_systems_match_scipy(cfg, cal):
+    """High-pileup lanes (3-4 pulses, up to 9 free parameters) through the
+    wide-budget path must also land on scipy's minima — the wide solver is
+    otherwise only self-consistent."""
+    inp, t_true, a_true, ped, npul = _build_inputs(
+        cfg, cal, n_lanes=24, seed=71, max_pulses=4, noise=0.4,
+        seed_jitter=1.5)
+    res = fit_waveforms(cfg, inp)
+    conv = np.asarray(res.converged)
+    wide = npul >= 3
+    take = np.nonzero(conv & wide)[0]
+    assert take.size >= 5, f"only {take.size} converged wide lanes"
+    params = np.asarray(res.params)
+    chi2 = np.asarray(res.chi2)
+    lo, hi = (np.asarray(v) for v in _bounds(cfg, inp))
+    p_seed = np.asarray(_seed_params(cfg, inp))
+    y = np.asarray(inp.y, dtype=np.float64)
+    sig = np.asarray(inp.sigma, dtype=np.float64)
+    coeffs = np.asarray(inp.coeffs, dtype=np.float64)
+    x0s = np.asarray(inp.x0, dtype=np.float64)
+    for i in take[:6]:
+        n = int(npul[i])
+        m = 1 + 2 * n
+        resid = _residual_fn(cfg, coeffs[i], x0s[i], y[i], sig[i], n)
+        sol = scipy_opt.least_squares(
+            resid, p_seed[i, :m], bounds=(lo[i, :m], hi[i, :m]),
+            method="trf", xtol=1e-12, ftol=1e-12, gtol=1e-10)
+        np.testing.assert_allclose(params[i, 1:m:2], sol.x[1::2],
+                                   rtol=0, atol=1e-2,
+                                   err_msg=f"lane {i} times ({n} pulses)")
+        scipy_chi2 = float(np.sum(resid(sol.x) ** 2))
+        assert chi2[i] <= scipy_chi2 * (1 + 1e-3) + 1e-6, (
+            f"lane {i}: scipy found a lower minimum")
