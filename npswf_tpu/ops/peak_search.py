@@ -166,11 +166,13 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
         xnew = jnp.where(cond, factor * x, prev)
         prev = xnew
         x = xnew
-    shifted = jnp.roll(x, posit, axis=1)
     idx = np.arange(size_ext)
     in_range = (idx >= shift) & (idx < ssize + shift) & (idx < size_ext - L)
-    decon = jnp.where(jnp.asarray(in_range), area * jnp.roll(shifted, -L, axis=1), 0.0)
-    # decon[i] = area * shifted[i + L] on the valid range; roll(-L) aligns it.
+    # decon[i] = area * x[i + L - posit] on the valid range: the response
+    # argmax shift (+posit) and the padding realignment (-L) compose into
+    # one circular roll
+    decon = jnp.where(jnp.asarray(in_range),
+                      area * jnp.roll(x, posit - L, axis=1), 0.0)
     maximum_decon = jnp.max(decon, axis=1, keepdims=True)
     maximum = jnp.max(jnp.where(jnp.asarray(in_range), ext_orig, -jnp.inf),
                       axis=1, keepdims=True)
