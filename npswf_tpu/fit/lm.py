@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from npswf_tpu.core.config import NPSConfig
 from npswf_tpu.fit.linalg import cholesky_solve
+from npswf_tpu.fit.pallas_eval import NARROW_P
 from npswf_tpu.models.waveform import WaveformModel, get_model
 
 
@@ -138,8 +139,8 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     aux = model.prepare_aux(cfg, base_aux)
     eye = jnp.eye(M, dtype=dtype)
 
-    if (cfg.use_fused_system
-            and getattr(model, "name", "") == "spline_ref_pallas"):
+    is_pallas_model = getattr(model, "name", "") == "spline_ref_pallas"
+    if cfg.use_fused_system and is_pallas_model:
         # fully fused path: bound transform + spline eval + Jacobian columns
         # + normal equations in ONE Pallas call — no [N, K, M] Jacobian ever
         # reaches HBM, and the per-iteration kernel-launch chain collapses
@@ -149,13 +150,13 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
             return fused_system(cfg, aux["coeffs_pad"], inp.x0, inp.y, w,
                                 u, lo, hi, p_seed, param_mask,
                                 interpret=cfg.interpret_pallas)
-    elif (cfg.use_fused_neq and inp.t_seed.shape[1] <= 4
-          and getattr(model, "name", "") == "spline_ref_pallas"):
-        # narrow systems only: at P=12 XLA stages the kernel's [N, P, KP]
-        # operands in scoped VMEM and OOMs (the wide bucket keeps XLA glue)
+    elif (cfg.use_fused_neq and is_pallas_model
+          and inp.t_seed.shape[1] <= NARROW_P):
         # two Pallas calls: the fused model eval plus a normal-equations
         # kernel consuming its outputs — removes the XLA stack/transpose/
-        # conv-einsum glue without the operand staging of the one-call path
+        # conv-einsum glue without the operand staging of the one-call path.
+        # Narrow systems only: at P=12 XLA stages the kernel's [N, P, KP]
+        # operands in scoped VMEM and OOMs (the wide bucket keeps XLA glue).
         from npswf_tpu.fit.pallas_eval import fused_eval, fused_neq
 
         def system(u):

@@ -46,6 +46,9 @@ SEG = 128        # padded segment-plane width: must exceed PAD + 109 (the
                  # original 256
 KP = 128         # padded fit-bin width (>= nfitbins)
 LANE_TILE = 512  # non-power-of-2 tiles (e.g. 480) compile ~2x slower
+NARROW_P = 4     # widest pulse count for full-size lane tiles (and for the
+                 # optional fused normal-equations path): wider parameter
+                 # vectors blow up the per-tile [tile, P, KP] blocks
 
 
 def pad_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
@@ -119,7 +122,7 @@ def fused_eval(cfg: NPSConfig, coeffs_pad: jnp.ndarray, x0: jnp.ndarray,
     dtype = coeffs_pad.dtype
     # wide parameter vectors blow up the per-tile output block ([tile, P,
     # KP] x2): shrink the lane tile so the kernel stays inside VMEM
-    tile = min(LANE_TILE if P <= 4 else 128, N)
+    tile = min(LANE_TILE if P <= NARROW_P else 128, N)
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
     if Np != N:
@@ -331,7 +334,7 @@ def fused_neq(cfg: NPSConfig, y, w, f, jt, ja, dpdu, interpret: bool = False):
     dtype = y.dtype
     nout = M * (M + 1) // 2 + M + 1
     wout = -(-nout // 128) * 128
-    tile = min(LANE_TILE if P <= 4 else 128, N)
+    tile = min(LANE_TILE if P <= NARROW_P else 128, N)
     n_tiles = -(-N // tile)
     Np = n_tiles * tile
 

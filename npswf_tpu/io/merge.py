@@ -85,6 +85,8 @@ def merge_parts(part_paths: Sequence[str], out_path: str,
         # zero-event run: write the full empty schema via the writer so
         # downstream readers (plotstats/parity) still find every column
         from npswf_tpu.io.writer import WFWriter
+        # finalize() never touches cfg (only add_batch does), so a schema-
+        # only writer needs no config
         w = WFWriter(cfg=None)
         w.payload = dict(payload)
         w.finalize(out_path)
