@@ -166,14 +166,26 @@ def main() -> int:
     return 0
 
 
+_TRANSIENT_MARKERS = ("ABORTED", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                      "INTERNAL", "Socket closed", "connection reset")
+
+
 def main_with_retry() -> int:
     """The remote TPU tunnel occasionally aborts a run transiently
     ('TPU backend error (Aborted)'); one retry in a fresh attempt keeps a
-    driver-recorded benchmark from failing on an environment hiccup."""
+    driver-recorded benchmark from failing on an environment hiccup.
+    Only runtime errors matching the tunnel-abort signature are retried —
+    deterministic failures (assertion errors, bugs) re-raise immediately."""
     try:
         return main()
-    except Exception as e:  # noqa: BLE001 — diagnose, retry once, re-raise
-        print(f"bench attempt failed ({type(e).__name__}: {e}); "
+    except Exception as e:
+        msg = f"{type(e).__name__}: {e}"
+        transient = (not isinstance(e, AssertionError)
+                     and any(m.lower() in msg.lower()
+                             for m in _TRANSIENT_MARKERS))
+        if not transient:
+            raise
+        print(f"bench attempt failed on transient backend error ({msg}); "
               "retrying once", file=sys.stderr)
         time.sleep(10.0)
         return main()

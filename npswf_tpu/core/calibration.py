@@ -161,8 +161,9 @@ class CalibrationBundle:
     interp_y: np.ndarray      # [B, T] f64 — reference waveform amplitudes
     timeref: np.ndarray       # [B] f64 — bin of the waveform max (ref :434-438)
     preswf: np.ndarray        # [B] bool — reference waveform present (ref :452)
-    mfkern_rev: np.ndarray    # [B, W] f64 — reversed, mfint-normalized MF kernel
-    mfint: np.ndarray         # [B] f64 — kernel normalization (ref :440-451)
+    mfkern_rev: np.ndarray    # [B, W] f64 — reversed (UNnormalized) MF kernel
+    mfint: np.ndarray         # [B] f64 — kernel normalization, divided per
+                              # tap in the filter (ref :440-451, :161)
     tdcoffset: np.ndarray     # [B] f64 (ref :370-375)
     cortime: np.ndarray       # [B] f64 — zeros replaced by -1e-7 (ref :464-467)
     timerefacc: float         # (ref :524)
@@ -183,6 +184,7 @@ class CalibrationBundle:
             "timeref": self.timeref.astype(dt),
             "preswf": self.preswf.astype(np.bool_),
             "mfkern_rev": self.mfkern_rev.astype(dt),
+            "mfint": self.mfint.astype(dt),
             "tdcoffset": self.tdcoffset.astype(dt),
             "cortime": self.cortime.astype(dt),
             "timemean2": self.timemean2.astype(dt),
@@ -227,9 +229,12 @@ def _derive_block(cfg: NPSConfig, xs: np.ndarray, ys: np.ndarray):
     idx = np.clip(np.arange(cfg.mfwidth) + imax - cfg.mfleft, 0, cfg.ntime - 1)
     mfyref = ys[idx]
     mfint = float(np.sum(mfyref))
-    # FindPulsesMF applies kern = mfyref[mfwidth-1-jt] (ref :160); store reversed
-    # and normalized so the op is a plain correlation.
-    kern_rev = mfyref[::-1] / mfint
+    # FindPulsesMF applies kern = mfyref[mfwidth-1-jt] (ref :160); store
+    # reversed so the op is a plain correlation. The kernel is NOT
+    # pre-normalized: the reference divides per tap — acc += (delta*kern)/
+    # mfint (ref :161) — and the ops reproduce that exact accumulation order,
+    # so fp64 runs are bit-equal to the macro's arithmetic.
+    kern_rev = mfyref[::-1].copy()
     coeffs = natural_cubic_spline_coeffs(xs, ys)
     return timeref, kern_rev, mfint, coeffs
 

@@ -123,9 +123,16 @@ class NPSConfig:
                                      # blocks (the reference loops only over
                                      # pres&&preswf blocks, TEST_2.C:944);
                                      # overflow lanes get npulse=0 and are
-                                     # counted in n_search_dropped — set the
+                                     # counted in n_search_dropped and flagged
+                                     # per lane in search_overflow — set the
                                      # capacity to the per-batch present-lane
-                                     # bound of your data, never below it
+                                     # bound of your data, never below it.
+                                     # NOTE: under mesh block-sharding the
+                                     # compaction runs inside shard_map, so
+                                     # the cap applies PER SHARD (effective
+                                     # whole-batch capacity = capacity x
+                                     # block shards); size it from per-shard
+                                     # occupancy when sharding rows
     fit_chunk: int = 8640            # LM sub-batch size (lax.map chunks).
                                      # Fewer chunks = fewer fixed-cost
                                      # stage-2 retry rounds; 8640 = half the

@@ -86,6 +86,10 @@ class PipelineOutput(NamedTuple):
                                  # ref TEST_2.C:209-213)
     n_search_dropped: jnp.ndarray  # [] i32 — present lanes beyond
                                    # search_capacity (no silent cap)
+    search_overflow: jnp.ndarray = None  # [E, B] bool — present lanes that
+                                   # exceeded search_capacity (npulse forced
+                                   # to 0): distinguishes them from genuinely
+                                   # empty blocks in the WF file
 
 
 def _gather_lanes(arr, sel):
@@ -137,6 +141,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         minsignal = jnp.min(flat_sig, axis=1)                  # nsamp == T
 
     kern_flat = jnp.broadcast_to(kern[None], (E, B, cfg.mfwidth)).reshape(N, -1)
+    mfint = calib["mfint"].astype(dtype)
+    mfint_flat = jnp.broadcast_to(mfint[None], (E, B)).reshape(N)
 
     # ---- peak search -------------------------------------------------
     # Optionally compacted to the present lanes: production events light up
@@ -145,18 +151,24 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     # dead work under XLA unless they are gathered away.
     cap_s = min(cfg.search_capacity, N) if cfg.search_capacity > 0 else 0
     n_search_dropped = jnp.asarray(0, jnp.int32)
+    search_overflow = jnp.zeros((N,), bool)
     if 0 < cap_s < N:
         sel_s = jnp.argsort(~flat_present, stable=True)[:cap_s]
         ps_c = find_pulses(cfg, flat_sig[sel_s], minsignal[sel_s],
-                           kern_flat[sel_s], flat_present[sel_s])
+                           kern_flat[sel_s], mfint_flat[sel_s],
+                           flat_present[sel_s])
         npulse = jnp.zeros((N,), jnp.int32).at[sel_s].set(ps_c.npulse)
         seed_t_abs = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.times)
         seed_a = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.amps)
         pulse_mask = jnp.zeros((N, P), bool).at[sel_s].set(ps_c.valid)
-        n_search_dropped = jnp.maximum(
-            jnp.sum(flat_present) - cap_s, 0).astype(jnp.int32)
+        # flag the present lanes that did not get a search slot, so they are
+        # distinguishable from genuinely empty blocks downstream
+        searched = jnp.zeros((N,), bool).at[sel_s].set(True)
+        search_overflow = flat_present & ~searched
+        n_search_dropped = jnp.sum(search_overflow).astype(jnp.int32)
     else:
-        ps = find_pulses(cfg, flat_sig, minsignal, kern_flat, flat_present)
+        ps = find_pulses(cfg, flat_sig, minsignal, kern_flat, mfint_flat,
+                         flat_present)
         npulse = ps.npulse                                      # [N]
         seed_t_abs = ps.times                                   # [N, P] bins
         seed_a = ps.amps
@@ -188,10 +200,47 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     n_dropped = jnp.asarray(0, jnp.int32)
     buckets = [(small_active, cap_all, Ps)]
     if P > Ps:
-        cap_big = max(min(N, 256), cap_all // max(cfg.fit_big_frac, 1))
+        if cfg.fit_capacity <= 0:
+            # fit_capacity == 0 means "fit every block" (the reference fits
+            # every gate-passed block unconditionally, ref :942-1020) — the
+            # wide bucket must be uncapped too, or an extreme-pileup batch
+            # would drop lanes the contract promises to fit
+            cap_big = N
+        else:
+            cap_big = max(min(N, 256), cap_all // max(cfg.fit_big_frac, 1))
         buckets.append((big_active, cap_big, P))
+    # the fused Pallas evaluator covers the spline model's narrow bucket
+    # (small static P); other model families run their registered impl
+    from npswf_tpu.ops.pallas_kernels import pallas_enabled
+    model_name = "spline_ref_pallas" if (
+        cfg.model_name == "spline_ref" and pallas_enabled(cfg)
+    ) else cfg.model_name
     for mask, cap_b, Pb in buckets:
         one_chunk = cfg.fit_chunk <= 0 or cap_b <= cfg.fit_chunk
+
+        def _build_inputs(sel_blocks, sel_sig, take, _Pb=Pb):
+            sel_err = error_model(cfg, sel_sig)
+            return FitInputs(
+                y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+                sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
+                coeffs=coeffs[sel_blocks],
+                x0=x0[sel_blocks],
+                t_seed=take(seed_t_abs)[:, :_Pb]
+                - timeref[sel_blocks][:, None],                        # ref :662
+                a_seed=take(seed_a)[:, :_Pb],
+                ped_seed=take(ped_seed_all),
+                pulse_mask=take(pulse_mask)[:, :_Pb],
+                active=take(mask),
+                timeref=timeref[sel_blocks])
+
+        # An all-inactive bucket must cost nothing at runtime: lax.cond
+        # executes only the taken branch on TPU, and the compaction gathers
+        # ([cap, T] signal, [cap, S, 4] spline coefficients — the expensive
+        # part when the wide bucket is uncapped) sit INSIDE the cond, so an
+        # empty bucket pays only the [N] argsort. Inactive-lane outputs are
+        # never read (masked by `infit` below), so the skip branch returns
+        # zeros (derived from its operand so the branch output carries the
+        # same shard_map varying-axes type as the real fit branch).
         if cap_b >= N and one_chunk:
             # capacity covers every lane and the solver runs it as a single
             # chunk: the compaction permutation would be pure overhead (full
@@ -201,57 +250,37 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             # trailing chunks exit their while_loops immediately, the big win
             # at sparse occupancy.)
             sel = None
-            sel_blocks = blocks_flat
-            sel_sig = flat_sig
 
-            def take(arr):
-                return arr
+            def _run_fit(m, _Pb=Pb):
+                inp = _build_inputs(blocks_flat, flat_sig, lambda a: a)
+                return _fit_chunked(cfg, inp, model_name)
+
+            def _skip_fit(m, _Pb=Pb):
+                Mb = 1 + 2 * _Pb
+                z = m.astype(dtype) * 0.0
+                return FitResult(
+                    params=z[:, None] + jnp.zeros((1, Mb), dtype), chi2=z,
+                    chi2_ndf=z, converged=z > 1.0, converged_stage1=z > 1.0,
+                    n_iter=z.astype(jnp.int32), edm=z)
+
+            fres = jax.lax.cond(jnp.any(mask), _run_fit, _skip_fit, mask)
         else:
             sel = jnp.argsort(~mask, stable=True)[:cap_b]
-            sel_blocks = blocks_flat[sel]
-            sel_sig = _gather_lanes(flat_sig, sel)
 
-            def take(arr, sel=sel):
-                return _gather_lanes(arr, sel)
-        sel_err = error_model(cfg, sel_sig)
-        inp = FitInputs(
-            y=sel_sig[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
-            sigma=sel_err[:, cfg.fit_lo_bin:cfg.fit_hi_bin],
-            coeffs=coeffs[sel_blocks],
-            x0=x0[sel_blocks],
-            t_seed=take(seed_t_abs)[:, :Pb]
-            - timeref[sel_blocks][:, None],                            # ref :662
-            a_seed=take(seed_a)[:, :Pb],
-            ped_seed=take(ped_seed_all),
-            pulse_mask=take(pulse_mask)[:, :Pb],
-            active=take(mask),
-            timeref=timeref[sel_blocks])
-        # the fused Pallas evaluator covers the spline model's narrow bucket
-        # (small static P); other model families run their registered impl
-        from npswf_tpu.ops.pallas_kernels import pallas_enabled
-        model_name = "spline_ref_pallas" if (
-            cfg.model_name == "spline_ref" and pallas_enabled(cfg)
-        ) else cfg.model_name
-        # An all-inactive bucket still pays its initial system evaluation
-        # (for the wide bucket that is a [cap, P*K] spline gather + 25-wide
-        # normal equations) unless skipped at runtime: lax.cond executes
-        # only the taken branch on TPU, so empty buckets cost nothing.
-        # Inactive-lane outputs are never read (masked by `infit` below),
-        # so the skip branch can return zeros.
-        def _skip_fit(inp, _Pb=Pb):
-            Mb = 1 + 2 * _Pb
-            # zeros derived from the input so the branch output carries the
-            # same shard_map varying-axes type as the real fit branch
-            z = jnp.sum(inp.y, axis=1) * 0.0
-            return FitResult(
-                params=z[:, None] + jnp.zeros((1, Mb), dtype), chi2=z,
-                chi2_ndf=z, converged=z > 1.0, converged_stage1=z > 1.0,
-                n_iter=z.astype(jnp.int32), edm=z)
+            def _run_fit(s, _Pb=Pb):
+                inp = _build_inputs(blocks_flat[s], _gather_lanes(flat_sig, s),
+                                    lambda a, s=s: _gather_lanes(a, s))
+                return _fit_chunked(cfg, inp, model_name)
 
-        fres = jax.lax.cond(
-            jnp.any(inp.active),
-            lambda i: _fit_chunked(cfg, i, model_name),
-            _skip_fit, inp)
+            def _skip_fit(s, _Pb=Pb):
+                Mb = 1 + 2 * _Pb
+                z = s.astype(dtype) * 0.0
+                return FitResult(
+                    params=z[:, None] + jnp.zeros((1, Mb), dtype), chi2=z,
+                    chi2_ndf=z, converged=z > 1.0, converged_stage1=z > 1.0,
+                    n_iter=z.astype(jnp.int32), edm=z)
+
+            fres = jax.lax.cond(jnp.any(mask), _run_fit, _skip_fit, sel)
         pf = jnp.concatenate(
             [fres.params,
              jnp.zeros((fres.params.shape[0], 2 * (P - Pb)), dtype)], axis=1)
@@ -351,7 +380,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         n_fit_failure=n_fail,
         n_fit_dropped=n_dropped,
         n_high_pulse=n_high,
-        n_search_dropped=n_search_dropped)
+        n_search_dropped=n_search_dropped,
+        search_overflow=search_overflow.reshape(E, B))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

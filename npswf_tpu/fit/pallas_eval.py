@@ -219,8 +219,12 @@ def _system_kernel(cfg: NPSConfig, P: int, coef_ref, x0_ref, y_ref, w_ref,
             sder = jnp.where(m, pltpu.roll(sder, step, axis=1), sder)
         rel = xk - t_par
         gate = (rel > cfg.spline_gate_lo) & (rel < cfg.ntime - 1)
-        val = jnp.where(gate, sval[:, :KP], 0.0)
-        der = jnp.where(gate, sder[:, :KP], 0.0)
+        # gate with the pulse's mask slot (as _kernel does with actp):
+        # without it a masked slot carrying a nonzero seed amplitude would
+        # leak amp_seed*val into f (hence r and chi2)
+        actp = (pmask_ref[:, 2 + 2 * p:3 + 2 * p] > 0).astype(dtype)
+        val = jnp.where(gate, sval[:, :KP], 0.0) * actp
+        der = jnp.where(gate, sder[:, :KP], 0.0) * actp
         f = f + amp * val
         cols.append(-amp * der * dpdu[:, 1 + 2 * p:2 + 2 * p] * w)
         cols.append(val * dpdu[:, 2 + 2 * p:3 + 2 * p] * w)

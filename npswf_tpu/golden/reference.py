@@ -35,15 +35,16 @@ from npswf_tpu.core.config import NPSConfig
 # Matched filter (ref TEST_2.C:145-171)
 # ----------------------------------------------------------------------
 def matched_filter_golden(cfg: NPSConfig, sig: np.ndarray, minsignal: float,
-                          kern_rev: np.ndarray) -> np.ndarray:
+                          kern_rev: np.ndarray, mfint: float) -> np.ndarray:
     """11-tap normalized cross-correlation with running-min subtraction.
 
-    ``kern_rev`` is the reversed, mfint-normalized kernel (see
-    CalibrationBundle.mfkern_rev), so mf[it] = sum_j (sig[it+j-mfright] - min)
-    * kern_rev[j] (ref :158 uses mfright; NPSConfig enforces mfleft ==
-    mfright, without which the reference reads out of bounds), evaluated for
-    it in [mfleft, ntime-mfright); then the window minimum is subtracted over
-    the same range (ref :167-171).
+    ``kern_rev`` is the reversed UNnormalized kernel (see
+    CalibrationBundle.mfkern_rev); mf[it] = sum_j ((sig[it+j-mfright] - min)
+    * kern_rev[j]) / mfint — the division happens PER TAP, exactly the
+    macro's accumulation order (ref :158-161; :158 uses mfright, and
+    NPSConfig enforces mfleft == mfright, without which the reference reads
+    out of bounds), evaluated for it in [mfleft, ntime-mfright); then the
+    window minimum is subtracted over the same range (ref :167-171).
     """
     T, W, R = cfg.ntime, cfg.mfwidth, cfg.mfright
     mf = np.zeros(T)
@@ -51,7 +52,7 @@ def matched_filter_golden(cfg: NPSConfig, sig: np.ndarray, minsignal: float,
     for it in range(lo, hi):
         acc = 0.0
         for jt in range(W):
-            acc += (sig[it + jt - R] - minsignal) * kern_rev[jt]
+            acc += ((sig[it + jt - R] - minsignal) * kern_rev[jt]) / mfint
         mf[it] = acc
     mfmin = mf[lo:hi].min() if hi > lo else 0.0
     mf[lo:hi] -= mfmin
@@ -250,7 +251,7 @@ def tspectrum_search_golden(source: np.ndarray, sigma: float = 2.0,
 # Peak gating + seeds (ref TEST_2.C:192-207)
 # ----------------------------------------------------------------------
 def find_pulses_golden(cfg: NPSConfig, sig: np.ndarray, minsignal: float,
-                       kern_rev: np.ndarray, present: bool
+                       kern_rev: np.ndarray, mfint: float, present: bool
                        ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Matched filter -> TSpectrum -> gates; returns (npulse, times, amps).
 
@@ -260,7 +261,7 @@ def find_pulses_golden(cfg: NPSConfig, sig: np.ndarray, minsignal: float,
     """
     if not present:
         return 0, np.zeros(0), np.zeros(0)
-    mf = matched_filter_golden(cfg, sig, minsignal, kern_rev)
+    mf = matched_filter_golden(cfg, sig, minsignal, kern_rev, mfint)
     mf32 = mf.astype(np.float32).astype(np.float64)  # TH1F float32 bins (ref :173-179)
     pos_x, pos_y = tspectrum_search_golden(
         mf32, sigma=cfg.spec_sigma, threshold_frac=cfg.specthres,

@@ -76,15 +76,17 @@ def search_high_res_decimal(source: Sequence, sigma: float = 2.0,
                             ) -> Dict[str, list]:
     """Peak search over one spectrum, everything in Decimal.
 
-    ``source`` entries must be exactly representable (ints, or floats that
-    are exact binary fractions) so Decimal(str(v)) loses nothing.
-    Returns a dict with the peak outputs and the key intermediates
-    (extension, smoothed, decon) as decimal strings for fixture files.
+    ``source`` entries are converted with Decimal(float) — the EXACT
+    binary-to-decimal conversion — so any float64 input (including float32-
+    quantized production spectra) enters the Decimal computation with zero
+    representation slack. Returns a dict with the peak outputs and the key
+    intermediates (extension, smoothed, decon) as decimal strings for
+    fixture files.
     """
-    src = [D(repr(float(v))) for v in source]
+    src = [D(float(v)) for v in source]
     ssize = len(src)
-    sig = D(repr(float(sigma)))
-    thr = D(repr(float(threshold_pct))) / 100
+    sig = D(float(sigma))
+    thr = D(float(threshold_pct)) / 100
     shift = int(7 * float(sigma) + 0.5)
     n = ssize + 2 * shift                       # size_ext
 

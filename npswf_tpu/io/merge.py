@@ -82,14 +82,10 @@ def merge_parts(part_paths: Sequence[str], out_path: str,
     """Merge part files (in given order) into the final WF file, streaming."""
     payload = payload or {}
     if not part_paths:
-        # zero-event run: write the full empty schema via the writer so
-        # downstream readers (plotstats/parity) still find every column
-        from npswf_tpu.io.writer import WFWriter
-        # finalize() never touches cfg (only add_batch does), so a schema-
-        # only writer needs no config
-        w = WFWriter(cfg=None)
-        w.payload = dict(payload)
-        w.finalize(out_path)
+        # zero-event run: write the full empty schema so downstream readers
+        # (plotstats/parity) still find every column
+        from npswf_tpu.io.writer import write_empty_wf
+        write_empty_wf(out_path, payload)
         return MergeResult(n_events=0, n_fit_success=0, n_fit_failure=0,
                            n_fit_dropped=0, n_bad_slot=0, n_oversize=0,
                            n_truncated=0, n_high_pulse=0, n_search_dropped=0)

@@ -43,6 +43,9 @@ WF_COLUMNS = {
     "corr_time_HMS": np.float64, "Sampampl": np.float64,
     "Samptime": np.float64, "Sampener": np.float64, "Sampped": np.float64,
     "evt": np.int64, "runnum": np.int64,
+    # per-block search-capacity overflow flag (1 = present block that lost
+    # its search slot; its wfnpulse==0 is a capacity artifact, not physics)
+    "search_overflow": np.int8,
 }
 
 
@@ -138,6 +141,10 @@ class WFWriter:
         self._append("integtot", np.asarray(out.integtot, np.float64)[:n])
         B = self.cfg.nblocks
         self._append("pres", np.asarray(decoded.pres[:n, :B], np.int32))
+        so = getattr(out, "search_overflow", None)
+        self._append("search_overflow",
+                     np.zeros((n, B), np.int8) if so is None
+                     else np.asarray(so, np.int8)[:n])
         self._append("corr_time_HMS", np.asarray(decoded.corr_time_HMS)[:n])
         self._append("Sampampl", np.asarray(decoded.sampampl)[:n])
         self._append("Samptime", np.asarray(decoded.samptime)[:n])
@@ -208,6 +215,29 @@ class WFWriter:
             cols[f"payload_{k}"] = v
         np.savez_compressed(path, **cols)
         return cols
+
+
+def write_empty_wf(path: str,
+                   payload: Optional[Dict[str, np.ndarray]] = None
+                   ) -> Dict[str, np.ndarray]:
+    """Write a zero-event WF file carrying the full column schema.
+
+    Used for empty runs/merges so downstream readers (plotstats, parity,
+    diagnostics) still find every column — the reference's Snapshot always
+    writes the full 17-branch schema even for empty trees (ref
+    TEST_2.C:1383-1387)."""
+    cols: Dict[str, np.ndarray] = {
+        name: np.zeros(0, dt) for name, dt in WF_COLUMNS.items()}
+    cols["wf_offsets"] = np.zeros(1, np.int64)
+    cols["h_offsets"] = np.zeros(1, np.int64)
+    cols["sort_order"] = np.zeros(0, np.int64)
+    cols["h1time_hist"] = np.zeros(H1_BINS, np.int64)
+    cols["h2time_hist"] = np.zeros(H2_BINS, np.int64)
+    cols["fit_counters"] = np.zeros(8, np.int64)
+    for k, v in (payload or {}).items():
+        cols[f"payload_{k}"] = np.asarray(v)
+    np.savez_compressed(path, **cols)
+    return cols
 
 
 def read_wf(path: str) -> Dict[str, np.ndarray]:

@@ -35,17 +35,21 @@ def pallas_enabled(cfg) -> bool:
     return jax.default_backend() != "cpu"
 
 
-def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref, out_ref):
+def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref,
+               mfint_ref, out_ref):
     T, W, R = cfg.ntime, cfg.mfwidth, cfg.mfright
     lo, hi = cfg.mfleft, T - cfg.mfright
     n = hi - lo
     sig = sig_ref[:, :]                       # [tile, Tpad]
     delta = sig - min_ref[:, :]               # min broadcast [tile, 1]
+    inv = mfint_ref[:, :]                     # [tile, 1] per-tap divisor
     acc = jnp.zeros((sig.shape[0], n), sig.dtype)
     for jt in range(W):
         # it + jt - mfright (ref :158); == jt + lo - R under the enforced
-        # mfleft == mfright symmetry, so the slice start stays non-negative
-        acc = acc + delta[:, jt + lo - R:jt + lo - R + n] * kern_ref[:, jt:jt + 1]
+        # mfleft == mfright symmetry, so the slice start stays non-negative.
+        # Per-tap (delta*kern)/mfint matches the macro's rounding (ref :161).
+        acc = acc + (delta[:, jt + lo - R:jt + lo - R + n]
+                     * kern_ref[:, jt:jt + 1]) / inv
     mfmin = jnp.min(acc, axis=1, keepdims=True)
     acc = acc - mfmin
     # zero the window borders via static-slice stores (dynamic_update_slice
@@ -56,8 +60,10 @@ def _mf_kernel(cfg: NPSConfig, n_pad: int, sig_ref, min_ref, kern_ref, out_ref):
 
 def matched_filter_pallas(cfg: NPSConfig, signal: jnp.ndarray,
                           minsignal: jnp.ndarray, kern_rev: jnp.ndarray,
+                          mfint: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
-    """Batched matched filter. signal [N, T], minsignal [N], kern_rev [N, W].
+    """Batched matched filter. signal [N, T], minsignal [N], kern_rev [N, W]
+    (unnormalized), mfint [N].
 
     Returns [N, T] — same contract (and accumulation order, hence identical
     fp results) as ops.matched_filter.
@@ -72,6 +78,9 @@ def matched_filter_pallas(cfg: NPSConfig, signal: jnp.ndarray,
         signal = jnp.pad(signal, ((0, N_pad - N), (0, 0)))
         minsignal = jnp.pad(minsignal, (0, N_pad - N))
         kern_rev = jnp.pad(kern_rev, ((0, N_pad - N), (0, 0)))
+        # pad divisor with ones: padded lanes are sliced off below, but 0/0
+        # NaNs would still be computed — keep them finite
+        mfint = jnp.pad(mfint, (0, N_pad - N), constant_values=1.0)
     sig_p = jnp.pad(signal, ((0, 0), (0, n_pad - T)))
     w_pad = -(-W // 128) * 128
     kern_p = jnp.pad(kern_rev, ((0, 0), (0, w_pad - W)))
@@ -87,9 +96,11 @@ def matched_filter_pallas(cfg: NPSConfig, signal: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, w_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile, n_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(sig_p, minsignal[:, None], kern_p)
+    )(sig_p, minsignal[:, None], kern_p, mfint[:, None])
     return out[:N, :T]

@@ -273,24 +273,26 @@ class PulseSearchResult(NamedTuple):
 
 
 def find_pulses(cfg: NPSConfig, signal: jnp.ndarray, minsignal: jnp.ndarray,
-                kern_rev: jnp.ndarray, present: jnp.ndarray) -> PulseSearchResult:
+                kern_rev: jnp.ndarray, mfint: jnp.ndarray,
+                present: jnp.ndarray) -> PulseSearchResult:
     """FindPulsesMF parity over flat lanes.
 
     Args:
       signal:    [N, T] waveforms (lane = event x block).
       minsignal: [N] per-lane baseline.
-      kern_rev:  [N, W] per-lane reversed normalized kernel.
+      kern_rev:  [N, W] per-lane reversed UNnormalized kernel.
+      mfint:     [N] per-lane kernel normalization (per-tap divisor, ref :161).
       present:   [N] bool — pres && preswf gate (ref :139-143, 944).
     """
     T = cfg.ntime
     from npswf_tpu.ops.pallas_kernels import pallas_enabled
     if pallas_enabled(cfg):
         from npswf_tpu.ops.pallas_kernels import matched_filter_pallas
-        mf = matched_filter_pallas(cfg, signal, minsignal, kern_rev,
+        mf = matched_filter_pallas(cfg, signal, minsignal, kern_rev, mfint,
                                    interpret=cfg.interpret_pallas)
     else:
         mf = matched_filter(cfg, signal[:, None, :], minsignal[:, None],
-                            kern_rev[:, None, :])[:, 0, :]
+                            kern_rev[:, None, :], mfint[:, None])[:, 0, :]
     # The reference stores the filter into a float32-binned TH1F (ref :173-179);
     # quantize identically before the search.
     mf_search = mf.astype(jnp.float32).astype(mf.dtype)

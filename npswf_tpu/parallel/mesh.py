@@ -60,8 +60,8 @@ def make_mesh(cfg: NPSConfig, n_data: Optional[int] = None, n_block: int = 1,
 
 
 # per-block calibration tensors sharded along the block axis
-_BLOCK_SHARDED = ("timeref", "preswf", "mfkern_rev", "tdcoffset", "cortime",
-                  "timemean2", "spline_coeffs", "spline_x0")
+_BLOCK_SHARDED = ("timeref", "preswf", "mfkern_rev", "mfint", "tdcoffset",
+                  "cortime", "timemean2", "spline_coeffs", "spline_x0")
 
 
 def _calib_specs(cfg: NPSConfig, calib: Dict[str, jnp.ndarray]):
@@ -93,7 +93,7 @@ def _output_specs(cfg: NPSConfig) -> PipelineOutput:
         ampl=eb, ener=eb, integ=eb, bkg=eb, noise=eb,
         enertot=e, integtot=e,
         n_fit_success=P(), n_fit_failure=P(), n_fit_dropped=P(),
-        n_high_pulse=P(), n_search_dropped=P())
+        n_high_pulse=P(), n_search_dropped=P(), search_overflow=eb)
 
 
 def shard_calibration(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

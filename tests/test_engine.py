@@ -113,7 +113,7 @@ def test_engine_matches_golden_decisions(cfg, cal):
     check_blocks = list(np.nonzero(truth.npulse[0])[0][:15]) + [0, 500, 1079]
     for b in check_blocks:
         gn, gt, ga = find_pulses_golden(cfg, sig[b], sig[b].min(),
-                                        cal.mfkern_rev[b], True)
+                                        cal.mfkern_rev[b], cal.mfint[b], True)
         assert npulse[b] == gn, b
         gg = cluster_gate_golden(cfg, sig, pres, int(b), cal.timeref[b],
                                  cal.timerefacc)
@@ -223,3 +223,56 @@ def test_search_capacity_equivalence_and_overflow(small_cfg, small_cal):
     searched = np.asarray(over.wfnpulse) > 0
     np.testing.assert_array_equal(np.asarray(over.wfnpulse)[searched],
                                   np.asarray(base.wfnpulse)[searched])
+    # the per-lane overflow flag marks exactly the present lanes that lost
+    # their search slot (so wfnpulse==0 there is a capacity artifact)
+    so = np.asarray(over.search_overflow)
+    present = pres & np.asarray(calib["preswf"])[None, :]
+    assert int(so.sum()) == n_present - cap
+    assert np.all(~so | present)                     # flagged => present
+    assert np.all(np.asarray(over.wfnpulse)[so] == 0)
+    assert not np.asarray(capped.search_overflow).any()
+    assert not np.asarray(base.search_overflow).any()
+
+
+def test_max_pileup_zero_drops(cfg, cal):
+    """fit_capacity=0 means fit EVERY gate-passed block, including when every
+    lane lands in the wide (high-pileup) bucket — the reference fits every
+    block unconditionally (ref TEST_2.C:942-1020). Full geometry on purpose:
+    with N = 1080 lanes all wide, a fixed 256-lane wide-bucket cap (the old
+    heuristic) would drop 824 of them."""
+    from npswf_tpu.core.calibration import spline_eval_np
+    E, B, T = 1, cfg.nblocks, cfg.ntime
+    # deterministic max-pileup event: 4 pulses at 25-bin spacing per block —
+    # wide enough apart for the MF/TSpectrum chain to resolve all four
+    # against the ~60-bin synthetic template (verified: every block yields
+    # found npulse == 4), so EVERY lane lands in the wide bucket
+    rng = np.random.default_rng(57)
+    x = np.arange(T, dtype=np.float64)
+    signal = 2.0 + 0.4 * rng.standard_normal((E, B, T))
+    for b in range(B):
+        tr = cal.timeref[b]
+        for t0, a0 in ((18.0, 150.0), (43.0, 90.0), (68.0, 150.0),
+                       (93.0, 90.0)):
+            arg = x - (t0 - tr)
+            g = (arg > cfg.spline_gate_lo) & (arg < T - 1)
+            signal[0, b] += np.where(g, a0 * spline_eval_np(
+                cal.spline_coeffs[b], cal.spline_x0[b], arg), 0.0)
+    batch = EventBatch(signal=jnp.asarray(signal),
+                       pres=jnp.ones((E, B), bool),
+                       corr_time_HMS=jnp.zeros(E),
+                       evt=jnp.arange(E), runnum=jnp.zeros(E))
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = jax.jit(lambda b: process_batch(cfg, calib, b))(batch)
+    npulse = np.asarray(out.wfnpulse)
+    act = np.asarray(out.gate) & (npulse > 0)
+    # (nearly) every lane actually landed in the wide bucket — far beyond
+    # the old 256-lane cap
+    assert int((npulse > cfg.fit_small_pulses).sum()) > 1000
+    assert int(out.n_fit_dropped) == 0
+    # every active lane was fitted (success or failure, never dropped)
+    assert int(out.n_fit_success) + int(out.n_fit_failure) == int(act.sum())
+    # fitted+converged lanes carry sane chi2 (not the -100 sentinel)
+    chi2 = np.asarray(out.chi2)
+    conv = np.asarray(out.fit_converged)
+    assert np.all(chi2[conv] >= 0.0)
+    assert np.all(chi2[~act] == -100.0)

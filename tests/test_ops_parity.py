@@ -21,28 +21,32 @@ def _lanes(cfg, cal, n_events=2, seed=3, occupancy=0.15, **kw):
     sig = truth.signal.reshape(E * B, T)
     mins = sig.min(axis=1)
     kern = np.tile(cal.mfkern_rev, (E, 1))
-    return truth, sig, mins, kern
+    mfint = np.tile(cal.mfint, E)
+    return truth, sig, mins, kern, mfint
 
 
 def test_matched_filter_bitwise(cfg, cal):
-    truth, sig, mins, kern = _lanes(cfg, cal)
+    truth, sig, mins, kern, mfint = _lanes(cfg, cal)
     out = np.asarray(matched_filter(cfg, jnp.asarray(sig[:, None, :]),
                                     jnp.asarray(mins[:, None]),
-                                    jnp.asarray(kern[:, None, :])))[:, 0]
+                                    jnp.asarray(kern[:, None, :]),
+                                    jnp.asarray(mfint[:, None])))[:, 0]
     # identical accumulation order => bit-equal in fp64
     for lane in range(0, sig.shape[0], 97):
         b = lane % cfg.nblocks
-        ref = matched_filter_golden(cfg, sig[lane], mins[lane], cal.mfkern_rev[b])
+        ref = matched_filter_golden(cfg, sig[lane], mins[lane],
+                                    cal.mfkern_rev[b], cal.mfint[b])
         np.testing.assert_array_equal(out[lane], ref)
 
 
 def test_tspectrum_parity_structured(cfg, cal):
     """Clean multi-pulse spectra: positions/order must match exactly."""
-    truth, sig, mins, kern = _lanes(cfg, cal, n_events=3, occupancy=0.25,
+    truth, sig, mins, kern, mfint = _lanes(cfg, cal, n_events=3, occupancy=0.25,
                                     max_pulses=3, seed=11)
     mf = np.asarray(matched_filter(cfg, jnp.asarray(sig[:, None, :]),
                                    jnp.asarray(mins[:, None]),
-                                   jnp.asarray(kern[:, None, :])))[:, 0]
+                                   jnp.asarray(kern[:, None, :]),
+                                   jnp.asarray(mfint[:, None])))[:, 0]
     mf32 = mf.astype(np.float32).astype(np.float64)
     px, py, valid = tspectrum_search(cfg, jnp.asarray(mf32))
     px, py, valid = np.asarray(px), np.asarray(py), np.asarray(valid)
@@ -60,11 +64,12 @@ def test_tspectrum_parity_structured(cfg, cal):
 
 
 def test_find_pulses_parity(cfg, cal):
-    truth, sig, mins, kern = _lanes(cfg, cal, n_events=2, occupancy=0.2,
+    truth, sig, mins, kern, mfint = _lanes(cfg, cal, n_events=2, occupancy=0.2,
                                     max_pulses=3, seed=21)
     present = np.ones(sig.shape[0], dtype=bool)
     res = find_pulses(cfg, jnp.asarray(sig), jnp.asarray(mins),
-                      jnp.asarray(kern), jnp.asarray(present))
+                      jnp.asarray(kern), jnp.asarray(mfint),
+                      jnp.asarray(present))
     npulse = np.asarray(res.npulse)
     times = np.asarray(res.times)
     amps = np.asarray(res.amps)
@@ -72,7 +77,7 @@ def test_find_pulses_parity(cfg, cal):
     for lane in range(sig.shape[0]):
         b = lane % cfg.nblocks
         gn, gt, ga = find_pulses_golden(cfg, sig[lane], mins[lane],
-                                        cal.mfkern_rev[b], True)
+                                        cal.mfkern_rev[b], cal.mfint[b], True)
         assert npulse[lane] == gn, f"lane {lane}"
         np.testing.assert_allclose(times[lane, :gn], gt, atol=0)
         np.testing.assert_allclose(amps[lane, :gn], ga, rtol=1e-12)
@@ -82,12 +87,13 @@ def test_find_pulses_parity(cfg, cal):
 
 def test_find_pulses_detects_truth(cfg, cal):
     """Injected pulses above threshold are found within ~2.5 bins."""
-    truth, sig, mins, kern = _lanes(cfg, cal, n_events=2, occupancy=0.1,
+    truth, sig, mins, kern, mfint = _lanes(cfg, cal, n_events=2, occupancy=0.1,
                                     max_pulses=1, seed=33, noise=0.3,
                                     amp_range=(50.0, 150.0))
     present = np.ones(sig.shape[0], dtype=bool)
     res = find_pulses(cfg, jnp.asarray(sig), jnp.asarray(mins),
-                      jnp.asarray(kern), jnp.asarray(present))
+                      jnp.asarray(kern), jnp.asarray(mfint),
+                      jnp.asarray(present))
     npulse = np.asarray(res.npulse).reshape(truth.signal.shape[:2])
     times = np.asarray(res.times).reshape(truth.signal.shape[:2] + (-1,))
     found, missed = 0, 0
@@ -187,9 +193,11 @@ def test_find_pulses_edge_peaks_match_golden(cfg, cal):
                 cal.spline_coeffs[b], cal.spline_x0[b], arg), 0.0)
     mins = sig.min(axis=1)
     kern = cal.mfkern_rev[blocks]
+    mfint = cal.mfint[blocks]
     present = np.ones(n_lanes, bool)
     res = find_pulses(cfg, jnp.asarray(sig), jnp.asarray(mins),
-                      jnp.asarray(kern), jnp.asarray(present))
+                      jnp.asarray(kern), jnp.asarray(mfint),
+                      jnp.asarray(present))
     npulse = np.asarray(res.npulse)
     times = np.asarray(res.times)
     amps = np.asarray(res.amps)
@@ -197,7 +205,7 @@ def test_find_pulses_edge_peaks_match_golden(cfg, cal):
     for lane in range(n_lanes):
         b = blocks[lane]
         gn, gt, ga = find_pulses_golden(cfg, sig[lane], mins[lane],
-                                        cal.mfkern_rev[b], True)
+                                        cal.mfkern_rev[b], cal.mfint[b], True)
         assert npulse[lane] == gn, f"lane {lane}"
         np.testing.assert_allclose(times[lane, :gn], gt, atol=0)
         np.testing.assert_allclose(amps[lane, :gn], ga, rtol=1e-12)

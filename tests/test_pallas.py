@@ -13,12 +13,14 @@ def test_pallas_matched_filter_matches(cfg, cal):
     sig = truth.signal.reshape(-1, cfg.ntime)[:700]
     mins = sig.min(axis=1)
     kern = cal.mfkern_rev[np.arange(700) % cfg.nblocks]
+    mfint = cal.mfint[np.arange(700) % cfg.nblocks]
     ref = np.asarray(matched_filter(cfg, jnp.asarray(sig)[:, None, :],
                                     jnp.asarray(mins)[:, None],
-                                    jnp.asarray(kern)[:, None, :]))[:, 0]
+                                    jnp.asarray(kern)[:, None, :],
+                                    jnp.asarray(mfint)[:, None]))[:, 0]
     out = np.asarray(matched_filter_pallas(
         cfg, jnp.asarray(sig), jnp.asarray(mins), jnp.asarray(kern),
-        interpret=True))
+        jnp.asarray(mfint), interpret=True))
     np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
 
 
@@ -28,9 +30,11 @@ def test_find_pulses_same_under_pallas(cfg, cal):
     sig = jnp.asarray(truth.signal.reshape(-1, cfg.ntime))
     mins = jnp.min(sig, axis=1)
     kern = jnp.asarray(np.tile(cal.mfkern_rev, (1, 1)))
+    mfint = jnp.asarray(cal.mfint)
     present = jnp.ones(sig.shape[0], bool)
-    a = find_pulses(cfg, sig, mins, kern, present)
-    b = find_pulses(cfg.replace(interpret_pallas=True), sig, mins, kern, present)
+    a = find_pulses(cfg, sig, mins, kern, mfint, present)
+    b = find_pulses(cfg.replace(interpret_pallas=True), sig, mins, kern,
+                    mfint, present)
     np.testing.assert_array_equal(np.asarray(a.npulse), np.asarray(b.npulse))
     np.testing.assert_allclose(np.asarray(a.times), np.asarray(b.times),
                                atol=1e-9)

@@ -41,10 +41,11 @@ def test_loader_timeref_is_argmax_not_file_value(cfg, tmp_path):
     assert cal.preswf[0] and cal.preswf[5]
     assert not cal.preswf[7]
     assert cal.timeref[0] == float(argmax)        # NOT 999.0
-    # MF kernel = reversed window around the max, normalized to sum 1
-    np.testing.assert_allclose(cal.mfkern_rev[0].sum() * cal.mfint[0],
-                               cal.mfint[0], rtol=1e-12)
-    np.testing.assert_allclose(cal.mfkern_rev[0].sum(), 1.0, rtol=1e-12)
+    # MF kernel = reversed window around the max, UNnormalized; mfint is
+    # its sum (the per-tap divisor, ref :161)
+    np.testing.assert_allclose(cal.mfkern_rev[0].sum(), cal.mfint[0],
+                               rtol=1e-12)
+    assert cal.mfint[0] > 1.0  # genuinely unnormalized
 
 
 def test_loader_cortime_zero_replacement(cfg, tmp_path):
@@ -119,6 +120,47 @@ def test_timewf_closest_to_zero_selection(cfg, cal):
     assert abs(tw) == pytest.approx(np.abs(wft).min())
     aw = float(out.amplwf[0, b])
     assert 30 < aw < 90   # the smaller (near-zero) pulse's amplitude
+
+
+def test_short_final_block_uses_full_window(cfg, cal):
+    """Quirk ledger Q1 (PARITY.md): the reference bounds its error loop
+    (ref TEST_2.C:945), diagnostics loops (:1032, 1064-1071), and width scans
+    (:1083-1107) by the LAST decoded block's nsamp — a data-dependent leak
+    we deliberately define away. Pin our behavior: a short trailing block in
+    the readout must not change any other block's errors or diagnostics."""
+    from npswf_tpu.engine.diagnostics import block_diagnostics
+    from npswf_tpu.golden.reference import decode_event_golden
+    rng = np.random.default_rng(9)
+    T = cfg.ntime
+    wf_a = 10.0 + rng.standard_normal(T)        # full-length block 3
+    wf_b = 5.0 + rng.standard_normal(T)         # block 7, truncated below
+    short = 40                                   # nsamp of the trailing block
+
+    def stream(with_short_tail):
+        parts = [[3, T], wf_a]
+        if with_short_tail:
+            parts += [[7, short], wf_b[:short]]
+        return np.concatenate([np.asarray(p, np.float64) for p in parts])
+
+    sig_full, _, _, bad1 = decode_event_golden(cfg, stream(False))
+    sig_tail, _, _, bad2 = decode_event_golden(cfg, stream(True))
+    assert bad1 == -1 and bad2 == -1
+    np.testing.assert_array_equal(sig_full[3], sig_tail[3])
+
+    d_full = block_diagnostics(cfg, jnp.asarray(sig_full[None]))
+    d_tail = block_diagnostics(cfg, jnp.asarray(sig_tail[None]))
+    for k in ("ener", "integ", "bkg", "noise", "ampl"):
+        # block 3 diagnostics are bit-identical with and without the short
+        # trailing block (the reference's would change: nsamp=40 truncates
+        # every window and renormalizes bkg/noise by nsamp-78)
+        np.testing.assert_array_equal(np.asarray(d_full[k])[0, 3],
+                                      np.asarray(d_tail[k])[0, 3], err_msg=k)
+    # the error model is per-waveform and full-length: a short sibling block
+    # cannot shrink it (the reference's Err[it] loop stops at nsamp=40,
+    # leaving stale errors for bins 40..109 of EVERY later block)
+    e = np.asarray(error_model(cfg, jnp.asarray(sig_tail[3])))
+    assert e.shape == (T,)
+    assert np.all(e > 0)
 
 
 def test_fit_is_local_minimum(cfg, cal):

@@ -84,7 +84,8 @@ def test_engine_wide_bucket_matches_standalone_fit(small_cfg, small_cal):
     flat_sig = jnp.asarray(truth.signal.reshape(E * B, T))
     mins = jnp.min(flat_sig, axis=1)
     kern = jnp.asarray(np.tile(small_cal.mfkern_rev, (E, 1)))
-    ps = find_pulses(cfg, flat_sig, mins, kern,
+    mfint = jnp.asarray(np.tile(small_cal.mfint, E))
+    ps = find_pulses(cfg, flat_sig, mins, kern, mfint,
                      jnp.ones(E * B, bool))
     P = cfg.maxwfpulses
     for e, b in lanes[:4]:
