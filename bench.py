@@ -7,11 +7,16 @@ a pulse, i.e. every block is searched AND fitted (the reference's worst-case
 "full event").
 
 Baseline: the reference (mkerv/nps-waveform-analysis) publishes no throughput
-numbers (BASELINE.md). The denominator used for vs_baseline is therefore an
-explicit engineering estimate of the 4-thread ROOT/Minuit2 macro:
-~300 blocks/s/thread (TSpectrum search + Migrad fit of 90 bins with spline
-evaluation, typical few-ms/block on farm CPUs) x 4 threads = 1200 blocks/s.
-The driver-set target is >=50x that (BASELINE.json).
+numbers (BASELINE.md). The vs_baseline denominator is MEASURED at bench time
+by `tools/cpu_baseline.py`: a single-thread CPU runner of the reference's
+per-block algorithm (golden matched filter + TSpectrum search, then a
+bounded scipy-TRF fit standing in for Minuit2 Migrad) on the same dense
+batch, extrapolated x4 threads (the macro's default). Because the golden
+search is a Python-loop oracle (compiled TSpectrum would be much faster),
+the denominator conservatively charges the baseline for the FIT STAGE ONLY
+(search treated as free) — the larger, harder-to-beat figure. The previous
+documented estimate (1,200 blocks/s) is printed alongside for continuity.
+The driver-set target is >=50x (BASELINE.json).
 
 Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
@@ -23,7 +28,7 @@ import time
 
 import numpy as np
 
-BASELINE_BLOCKS_PER_SEC = 1200.0  # documented estimate, see module docstring
+ESTIMATE_BLOCKS_PER_SEC = 1200.0  # round-1 documented estimate (continuity)
 
 
 def main() -> int:
@@ -155,13 +160,39 @@ def main() -> int:
           "(README.md:129) is on real data; only the adversarial rows are "
           "comparable in spirit.", file=sys.stderr)
 
+    # --- measured baseline denominator (tools/cpu_baseline.py) ----------
+    # Single-thread reference-algorithm run on a sample of the same dense
+    # batch; x4 threads; search charged as FREE (conservative — the golden
+    # search is a Python oracle, compiled TSpectrum would be faster, so the
+    # fit-only figure is the harder denominator).
+    from npswf_tpu.tools.cpu_baseline import measure_cpu_baseline
+    cb = measure_cpu_baseline(
+        cfg, cal, truth.signal, np.asarray(cal.timeref, dtype=np.float64),
+        time_budget_s=5.0, min_blocks=48)
+    base_fit_only = 4.0 * 1e3 / max(cb["fit_ms_per_block"], 1e-9)
+    # denominator: the HARDEST of (measured fit-only, measured total, the
+    # round-1 estimate) — measurement validated the estimate (it is HIGHER
+    # than both measured figures on this host), so keeping it in the max is
+    # purely conservative and stable across bench hosts
+    baseline = max(base_fit_only, cb["blocks_per_sec_4thread"],
+                   ESTIMATE_BLOCKS_PER_SEC)
+    print(f"measured CPU baseline ({cb['n_blocks']} blocks sampled): "
+          f"search {cb['search_ms_per_block']:.2f} ms/blk (python oracle), "
+          f"fit {cb['fit_ms_per_block']:.2f} ms/blk (scipy TRF); "
+          f"4-thread total {cb['blocks_per_sec_4thread']:.0f} blocks/s, "
+          f"fit-only (denominator) {base_fit_only:.0f} blocks/s "
+          f"(round-1 estimate was {ESTIMATE_BLOCKS_PER_SEC:.0f})",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "blocks fitted/sec/chip (full event, 1080 blocks); "
-                  "vs_baseline is relative to a documented ESTIMATE of the "
-                  "4-thread ROOT macro (1200 blocks/s), not a measured run",
+                  "vs_baseline divides by the harder of a MEASURED 4-thread "
+                  f"CPU reference run and the 1200 estimate ({baseline:.0f} "
+                  "blocks/s; measurement: golden-algorithm search + "
+                  "scipy-TRF fit at bench time — see stderr)",
         "value": round(blocks_per_sec, 1),
         "unit": "blocks/s",
-        "vs_baseline": round(blocks_per_sec / BASELINE_BLOCKS_PER_SEC, 2),
+        "vs_baseline": round(blocks_per_sec / baseline, 2),
     }))
     return 0
 
