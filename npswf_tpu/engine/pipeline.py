@@ -390,6 +390,90 @@ def _process_batch_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     return process_batch(cfg, calib, batch)
 
 
+# ----------------------------------------------------------------------
+# Device-side writer packet (downlink compaction)
+# ----------------------------------------------------------------------
+class WriterPacket(NamedTuple):
+    """The minimal device->host payload the WF writer needs.
+
+    PipelineOutput is ~18 MB/64-event batch, dominated by the dense
+    [E, B, P] pulse tensors that the writer immediately ragged-flattens
+    and by diagnostics-only fields it never reads. Packing on device cuts
+    the downlink ~4x — decisive when host<->device bandwidth is the
+    end-to-end bottleneck (PERF.md, end-to-end section). The ragged
+    flatten (event->block->slot order, identical to
+    ``writer.flatten_pulses_np``) happens on device into fixed-capacity
+    buffers; ``n_wf``/``n_h`` report the true totals so the executor can
+    fall back to the full output in the (pathological) overflow case.
+    """
+    wfnpulse: jnp.ndarray       # [E, B] i32
+    wf_counts_e: jnp.ndarray    # [E] i32 — pulses per event
+    wftime_flat: jnp.ndarray    # [cap]
+    wfampl_flat: jnp.ndarray    # [cap]
+    n_wf: jnp.ndarray           # [] i32 — true total (may exceed cap)
+    h_counts_e: jnp.ndarray     # [E] i32 — h1/h2 entries per event
+    h1time_flat: jnp.ndarray    # [cap]
+    h2time_flat: jnp.ndarray    # [cap]
+    n_h: jnp.ndarray            # [] i32
+    chi2: jnp.ndarray           # [E, B]
+    ampl: jnp.ndarray           # [E, B]
+    amplwf: jnp.ndarray         # [E, B]
+    timewf: jnp.ndarray         # [E, B]
+    pedwf: jnp.ndarray          # [E, B]
+    enertot: jnp.ndarray        # [E]
+    integtot: jnp.ndarray       # [E]
+    search_overflow: jnp.ndarray  # [E, B] bool
+    n_fit_success: jnp.ndarray
+    n_fit_failure: jnp.ndarray
+    n_fit_dropped: jnp.ndarray
+    n_high_pulse: jnp.ndarray
+    n_search_dropped: jnp.ndarray
+
+
+def _ragged_flatten_device(mask, arrays, cap: int):
+    """Compact ``arrays[mask]`` (row-major) into [cap] buffers + true count."""
+    v = mask.reshape(-1)
+    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
+    tgt = jnp.where(v, pos, cap)        # out-of-range -> dropped
+    outs = tuple(
+        jnp.zeros((cap,), a.dtype).at[tgt].set(a.reshape(-1), mode="drop")
+        for a in arrays)
+    return outs, jnp.sum(v.astype(jnp.int32))
+
+
+def pack_for_writer(out: PipelineOutput, cap: int) -> WriterPacket:
+    E, B, P = out.wftime.shape
+    prefix = (jnp.arange(P, dtype=jnp.int32)[None, None, :]
+              < out.wfnpulse[:, :, None])
+    (wt, wa), n_wf = _ragged_flatten_device(
+        prefix, (out.wftime, out.wfampl), cap)
+    (h1f, h2f), n_h = _ragged_flatten_device(
+        out.h_mask, (out.h1time, out.h2time), cap)
+    return WriterPacket(
+        wfnpulse=out.wfnpulse,
+        wf_counts_e=jnp.sum(out.wfnpulse, axis=1, dtype=jnp.int32),
+        wftime_flat=wt, wfampl_flat=wa, n_wf=n_wf,
+        h_counts_e=jnp.sum(out.h_mask, axis=(1, 2), dtype=jnp.int32),
+        h1time_flat=h1f, h2time_flat=h2f, n_h=n_h,
+        chi2=out.chi2, ampl=out.ampl, amplwf=out.amplwf,
+        timewf=out.timewf, pedwf=out.pedwf,
+        enertot=out.enertot, integtot=out.integtot,
+        search_overflow=out.search_overflow,
+        n_fit_success=out.n_fit_success, n_fit_failure=out.n_fit_failure,
+        n_fit_dropped=out.n_fit_dropped, n_high_pulse=out.n_high_pulse,
+        n_search_dropped=out.n_search_dropped)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _pack_jit(out: PipelineOutput, cap: int) -> WriterPacket:
+    return pack_for_writer(out, cap)
+
+
+def make_writer_pack(cap: int):
+    """jitted device-side packer with static flat-buffer capacity."""
+    return functools.partial(_pack_jit, cap=cap)
+
+
 def make_pipeline(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                   donate: bool = False):
     """jit-compiled pipeline closure over static config + calibration.

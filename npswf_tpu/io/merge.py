@@ -78,8 +78,13 @@ def _write_member(zf: zipfile.ZipFile, name: str, shape: tuple,
 
 
 def merge_parts(part_paths: Sequence[str], out_path: str,
-                payload: Optional[Dict[str, np.ndarray]] = None) -> MergeResult:
-    """Merge part files (in given order) into the final WF file, streaming."""
+                payload: Optional[Dict[str, np.ndarray]] = None,
+                compress: bool = True) -> MergeResult:
+    """Merge part files (in given order) into the final WF file, streaming.
+
+    ``compress=False`` writes ZIP_STORED members (still a valid .npz) —
+    useful when single-core DEFLATE would bottleneck the job; the final
+    file stays readable by ``np.load`` either way."""
     payload = payload or {}
     if not part_paths:
         # zero-event run: write the full empty schema so downstream readers
@@ -147,7 +152,8 @@ def merge_parts(part_paths: Sequence[str], out_path: str,
                 yield z[name]
             z.close()
 
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED,
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(out_path, "w", method,
                          allowZip64=True) as zf:
         for name, (shape, dtype) in col_meta.items():
             _write_member(zf, name, tuple(shape), dtype, part_chunks(name))

@@ -162,6 +162,67 @@ class WFWriter:
         self.n_oversize += int(np.sum(bad == -3))
         self.n_truncated += int(np.sum(bad == -2))
 
+    def add_packet(self, pkt, decoded, n_valid: Optional[int] = None) -> None:
+        """Add a host-side WriterPacket (device-flattened PipelineOutput).
+
+        Column-equivalent to ``add_batch``: the ragged flatten already
+        happened on device (``engine.pipeline.pack_for_writer``); this
+        slices the fixed-capacity flat buffers by the true counts. The
+        caller must have checked ``n_wf``/``n_h`` <= capacity (the executor
+        falls back to ``add_batch`` on overflow).
+        """
+        npulse_full = np.asarray(pkt.wfnpulse)
+        n = n_valid if n_valid is not None else npulse_full.shape[0]
+        npulse = npulse_full[:n]
+        wf_counts = np.asarray(pkt.wf_counts_e, np.int64)
+        h_counts = np.asarray(pkt.h_counts_e, np.int64)
+        # flatten order is event-major, so the first sum(counts[:n]) flat
+        # entries belong to the first n events (padding events count 0)
+        n_wf = int(wf_counts[:n].sum())
+        n_h = int(h_counts[:n].sum())
+        self._append("wftime_flat", np.asarray(pkt.wftime_flat,
+                                               np.float64)[:n_wf])
+        self._append("wfampl_flat", np.asarray(pkt.wfampl_flat,
+                                               np.float64)[:n_wf])
+        self._append("wf_counts", wf_counts[:n])
+        h1 = np.asarray(pkt.h1time_flat, np.float64)[:n_h]
+        h2 = np.asarray(pkt.h2time_flat, np.float64)[:n_h]
+        self._append("h1time_flat", h1)
+        self._append("h2time_flat", h2)
+        self._append("h_counts", h_counts[:n])
+        if n_h:
+            self._h1 += np.histogram(h1, bins=H1_BINS, range=(H1_LO, H1_HI))[0]
+            self._h2 += np.histogram(h2, bins=H2_BINS, range=(H2_LO, H2_HI))[0]
+
+        self._append("chi2", np.asarray(pkt.chi2, np.float64)[:n])
+        self._append("ampl", np.asarray(pkt.ampl, np.float64)[:n])
+        self._append("amplwf", np.asarray(pkt.amplwf, np.float64)[:n])
+        self._append("wfnpulse", npulse.astype(np.int32))
+        self._append("timewf", np.asarray(pkt.timewf, np.float64)[:n])
+        self._append("pedwf", np.asarray(pkt.pedwf, np.float64)[:n])
+        self._append("enertot", np.asarray(pkt.enertot, np.float64)[:n])
+        self._append("integtot", np.asarray(pkt.integtot, np.float64)[:n])
+        B = self.cfg.nblocks
+        self._append("pres", np.asarray(decoded.pres[:n, :B], np.int32))
+        self._append("search_overflow",
+                     np.asarray(pkt.search_overflow, np.int8)[:n])
+        self._append("corr_time_HMS", np.asarray(decoded.corr_time_HMS)[:n])
+        self._append("Sampampl", np.asarray(decoded.sampampl)[:n])
+        self._append("Samptime", np.asarray(decoded.samptime)[:n])
+        self._append("Sampener", np.asarray(decoded.sampener)[:n])
+        self._append("Sampped", np.asarray(decoded.sampped)[:n])
+        self._append("evt", np.asarray(decoded.evt)[:n])
+        self._append("runnum", np.asarray(decoded.runnum)[:n])
+        self.n_fit_success += int(pkt.n_fit_success)
+        self.n_fit_failure += int(pkt.n_fit_failure)
+        self.n_fit_dropped += int(pkt.n_fit_dropped)
+        self.n_high_pulse += int(pkt.n_high_pulse)
+        self.n_search_dropped += int(pkt.n_search_dropped)
+        bad = np.asarray(decoded.bad_slot)[:n]
+        self.n_bad_slot += int(np.sum(bad >= 0))
+        self.n_oversize += int(np.sum(bad == -3))
+        self.n_truncated += int(np.sum(bad == -2))
+
     def ingest_part(self, part: Dict[str, np.ndarray]) -> None:
         """Re-ingest a previously finalized (single-batch) part file's columns
         — used by the executor's checkpointed part/merge flow."""
@@ -189,7 +250,7 @@ class WFWriter:
         self._h1 += part["h1time_hist"]
         self._h2 += part["h2time_hist"]
 
-    def finalize(self, path: str) -> Dict[str, np.ndarray]:
+    def finalize(self, path: str, compress: bool = True) -> Dict[str, np.ndarray]:
         cols = {k: np.concatenate(v) if v else np.zeros(0)
                 for k, v in self._cols.items()}
         # zero-event runs: emit the full (empty) schema so readers work
@@ -213,7 +274,10 @@ class WFWriter:
              self.n_high_pulse, self.n_search_dropped], np.int64)
         for k, v in self.payload.items():
             cols[f"payload_{k}"] = v
-        np.savez_compressed(path, **cols)
+        # part files are transient (deleted after the merge): the executor
+        # writes them uncompressed — single-core DEFLATE would throttle the
+        # whole job (PERF.md, end-to-end section)
+        (np.savez_compressed if compress else np.savez)(path, **cols)
         return cols
 
 

@@ -20,6 +20,7 @@ The job-driver layer (component C1/C4/L4 of the reference, TEST_2.C:281-534,
 """
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -30,6 +31,7 @@ from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from npswf_tpu.core.calibration import CalibrationBundle
@@ -90,6 +92,77 @@ def _to_event_batch(cfg: NPSConfig, d: DecodedBatch, dtype) -> EventBatch:
         minsignal=jnp.asarray(d.minsignal.astype(dtype)))
 
 
+# ---------------------------------------------------------------------
+# Uplink compaction (host->device transfer volume)
+# ---------------------------------------------------------------------
+# The [E, B, T] signal tensor dominates the uplink; two lossless reducers:
+#  - int16 when every sample is integral (real FADC streams carry raw ADC
+#    counts stored as doubles, ref TEST_2.C:854-889): 2 bytes/sample, cast
+#    back to the compute dtype on device;
+#  - present-lane compaction when the batch is sparse (production events
+#    read out only the hit region): upload [cap, T] rows + row indices and
+#    scatter into dense zeros on device — exact, because the decoder
+#    zero-fills absent lanes (io/native/decode.cpp:50).
+# Both preserve bitwise results; dense float batches fall through to the
+# plain upload.
+
+@functools.partial(jax.jit, static_argnames=("dt",))
+def _dev_cast(sig, dt):
+    return sig.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "dt"))
+def _dev_scatter(sig_c, rows, shape, dt):
+    E, B, T = shape
+    dense = jnp.zeros((E * B, T), dt).at[rows].set(
+        sig_c.astype(dt), mode="drop")
+    return dense.reshape(shape)
+
+
+def _maybe_int16(sig: np.ndarray) -> np.ndarray:
+    """Lossless int16 view of an integral float array, else the original."""
+    if sig.size == 0:
+        return sig
+    lo, hi = sig.min(), sig.max()
+    if lo < -32768.0 or hi > 32767.0:
+        return sig
+    if not np.array_equal(sig, np.rint(sig)):
+        return sig
+    return sig.astype(np.int16)
+
+
+def _upload_signal(cfg: NPSConfig, d: DecodedBatch, dtype) -> jnp.ndarray:
+    """Device [E, B, T] signal via the cheapest lossless uplink route."""
+    B, T = cfg.nblocks, cfg.ntime
+    E = d.signal.shape[0]
+    dt = np.dtype(dtype)
+    pres = d.pres[:, :B].astype(bool)
+    n_pres = int(pres.sum())
+    if n_pres <= (E * B) // 2:
+        rows = np.flatnonzero(pres.reshape(-1)).astype(np.int32)
+        # bucket the capacity so jit variants stay few
+        cap = max(1024, 1 << int(np.ceil(np.log2(max(n_pres, 1)))))
+        cap = min(cap, E * B)
+        sig_c = np.zeros((cap, T), d.signal.dtype)
+        sig_c[:n_pres] = d.signal.reshape(E * B, T)[rows]
+        rows_p = np.full(cap, E * B, np.int32)   # out-of-range -> dropped
+        rows_p[:n_pres] = rows
+        return _dev_scatter(jnp.asarray(_maybe_int16(sig_c)),
+                            jnp.asarray(rows_p), (E, B, T), dt)
+    return _dev_cast(jnp.asarray(_maybe_int16(d.signal)), dt)
+
+
+def _upload_batch(cfg: NPSConfig, d: DecodedBatch, dtype) -> EventBatch:
+    B = cfg.nblocks
+    return EventBatch(
+        signal=_upload_signal(cfg, d, dtype),
+        pres=jnp.asarray(d.pres[:, :B].astype(bool)),
+        corr_time_HMS=jnp.asarray(d.corr_time_HMS.astype(dtype)),
+        evt=jnp.asarray(d.evt),
+        runnum=jnp.asarray(d.runnum),
+        minsignal=jnp.asarray(d.minsignal.astype(dtype)))
+
+
 class _Progress:
     """Sidecar recording completed batch ranges for resume."""
 
@@ -117,12 +190,17 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 use_native_decode: bool = True,
                 timers: Optional[StageTimer] = None,
                 progress_every: int = 1000,
-                profile_dir: Optional[str] = None) -> RunResult:
+                profile_dir: Optional[str] = None,
+                compress_output: bool = True) -> RunResult:
     """Process a full raw segment into a WF output file.
 
     ``profile_dir`` wraps the event loop in a JAX profiler trace
     (xprof-compatible) — the structured-tracing equivalent of the reference's
     TStopwatch instrumentation (SURVEY.md section 5).
+
+    ``compress_output`` controls DEFLATE of the FINAL merged file only;
+    transient part files are always written uncompressed (single-core
+    DEFLATE of parts would throttle the device pipeline — PERF.md).
     """
     timers = timers or StageTimer()
     t_start = time.perf_counter()
@@ -152,8 +230,12 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     def decode(rng_):
         lo, hi = rng_
         with timers.stage("decode"):
-            return decode_segment(cfg, cal, seg, lo, hi,
-                                  use_native=use_native_decode)
+            d = decode_segment(cfg, cal, seg, lo, hi,
+                               use_native=use_native_decode)
+            d_pad = _pad_decoded(cfg, d, batch_size)
+        with timers.stage("upload"):
+            batch = _upload_batch(cfg, d_pad, dtype)
+        return d, d_pad, batch
 
     pool = ThreadPoolExecutor(max_workers=1)
     pending = [r for r in ranges if not (resume and progress.done(*r))]
@@ -165,16 +247,34 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     from npswf_tpu.utils.timers import device_trace
     trace_ctx = device_trace(profile_dir)
     trace_ctx.__enter__()
+    from npswf_tpu.engine.pipeline import make_writer_pack
+    pack_cap = 2 * batch_size * cfg.nblocks
+    pack = make_writer_pack(pack_cap)
+
     def write_part(item):
         nonlocal done_events
-        lo, hi, n_valid, d_pad, out = item
+        lo, hi, n_valid, d_pad, out, pkt = item
         with timers.stage("write"):
-            # np.asarray inside WFWriter blocks on the device results here —
-            # by which time the NEXT batch is already dispatched, so the
-            # remote round-trip and part writing hide behind device compute
+            # one bulk device_get of the compact packet blocks on the device
+            # results here — by which time the NEXT batch is already
+            # dispatched, so the transfer and part writing hide behind
+            # device compute (and the packet is ~4x smaller than the full
+            # PipelineOutput — the decisive cut when the host<->device link
+            # is the end-to-end bottleneck, PERF.md)
+            pkt_host = jax.device_get(pkt)
             w = WFWriter(cfg)
-            w.add_batch(out, d_pad, n_valid=n_valid)
-            w.finalize(os.path.join(parts_dir, f"part_{lo:09d}_{hi:09d}.npz"))
+            if int(pkt_host.n_wf) > pack_cap or int(pkt_host.n_h) > pack_cap:
+                # >2 pulses/block average over the whole batch: flat-buffer
+                # overflow; fall back to the full (uncompacted) output
+                log.warning("writer-packet overflow (%d/%d wf, %d/%d h); "
+                            "falling back to dense fetch",
+                            int(pkt_host.n_wf), pack_cap,
+                            int(pkt_host.n_h), pack_cap)
+                w.add_batch(out, d_pad, n_valid=n_valid)
+            else:
+                w.add_packet(pkt_host, d_pad, n_valid=n_valid)
+            w.finalize(os.path.join(parts_dir, f"part_{lo:09d}_{hi:09d}.npz"),
+                       compress=False)
         progress.mark(lo, hi)
         done_events += n_valid
         if done_events % progress_every < batch_size:
@@ -184,7 +284,7 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
 
     inflight = None   # one dispatched-but-unwritten batch (double buffering)
     for i, (lo, hi) in enumerate(pending):
-        d = fut.result()
+        d, d_pad, dev_batch = fut.result()
         if i + 1 < len(pending):
             fut = pool.submit(decode, pending[i + 1])  # overlap next decode
         n_valid = hi - lo
@@ -196,12 +296,12 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 kind = {-2: "truncated stream", -3: "oversize (Ndata guard)"}\
                     .get(int(bad[e]), f"slot number problem (slot {bad[e]})")
                 log.warning("event %s: %s", d.evt[e], kind)
-        d_pad = _pad_decoded(cfg, d, batch_size)
         with timers.stage("pipeline"):
-            out = pipeline(_to_event_batch(cfg, d_pad, dtype))  # async dispatch
+            out = pipeline(dev_batch)                           # async dispatch
+            pkt = pack(out)                                     # async too
         if inflight is not None:
             write_part(inflight)
-        inflight = (lo, hi, n_valid, d_pad, out)
+        inflight = (lo, hi, n_valid, d_pad, out, pkt)
     if inflight is not None:
         write_part(inflight)
     trace_ctx.__exit__(None, None, None)
@@ -214,7 +314,8 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
         from npswf_tpu.io.merge import merge_parts
         part_paths = [os.path.join(parts_dir, f)
                       for f in sorted(os.listdir(parts_dir))]
-        merged = merge_parts(part_paths, out_path, payload=dict(seg.payload))
+        merged = merge_parts(part_paths, out_path, payload=dict(seg.payload),
+                             compress=compress_output)
     shutil.rmtree(parts_dir, ignore_errors=True)
     if os.path.exists(out_path + ".progress.json"):
         os.remove(out_path + ".progress.json")

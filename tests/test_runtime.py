@@ -149,3 +149,40 @@ def test_empty_and_single_event_segments(small_cfg, small_cal, tmp_path):
     wf1 = read_wf(out1)
     assert wf1["evt"].shape[0] == 1 and int(wf1["evt"][0]) == 7
     assert res1.n_fit_success > 0
+
+
+def test_writer_packet_matches_dense_path(cfg, synth_paths, tmp_path):
+    """The device-side WriterPacket (downlink compaction) must yield a part
+    file identical to the legacy dense-fetch path, column for column."""
+    import jax
+    import jax.numpy as jnp
+    from npswf_tpu.core.calibration import CalibrationBundle
+    from npswf_tpu.engine.pipeline import make_pipeline, make_writer_pack
+    from npswf_tpu.io.decode import decode_segment
+    from npswf_tpu.io.writer import WFWriter
+    from npswf_tpu.runtime.executor import _pad_decoded, _to_event_batch
+
+    seg_path, cal_path = synth_paths
+    cal = CalibrationBundle.load(cal_path)
+    seg = read_segment(seg_path)
+    d = _pad_decoded(cfg, decode_segment(cfg, cal, seg, 0, 3), 4)
+    batch = _to_event_batch(cfg, d, np.dtype(cfg.compute_dtype))
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = make_pipeline(cfg, calib)(batch)
+
+    cap = 2 * 4 * cfg.nblocks
+    pkt = jax.device_get(make_writer_pack(cap)(out))
+    assert int(pkt.n_wf) <= cap and int(pkt.n_h) <= cap
+    assert int(pkt.n_wf) > 0     # the synth events carry pulses
+
+    wa = WFWriter(cfg)
+    wa.add_batch(out, d, n_valid=3)
+    cols_a = wa.finalize(str(tmp_path / "a.npz"))
+    wb = WFWriter(cfg)
+    wb.add_packet(pkt, d, n_valid=3)
+    cols_b = wb.finalize(str(tmp_path / "b.npz"))
+
+    assert set(cols_a) == set(cols_b)
+    for k in cols_a:
+        np.testing.assert_array_equal(
+            cols_a[k], cols_b[k], err_msg=f"column {k} differs")
