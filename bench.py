@@ -118,12 +118,11 @@ def main() -> int:
           file=sys.stderr)
 
     # --- adversarial fit-quality diagnostics (stderr only) --------------
-    # The clean-synthetic failure rate is measured on waveforms generated
-    # from the SAME spline model the fit assumes, so it is NOT comparable to
-    # the reference's 1-2% on real detector data (README.md:129). These
-    # variants stress the solver the way real data does: wrong pulse shape,
-    # correlated (non-white) noise, and ADC-saturated (clipped) pulses.
-    rng_a = np.random.default_rng(23)
+    # Ensembles shared with tools/solver_audit.py (the scipy-TRF failure
+    # classification); see utils/synthetic.adversarial_variants for why the
+    # clean-synthetic rate is not comparable to the reference's 1-2%.
+    from npswf_tpu.utils.synthetic import adversarial_variants
+    adv = adversarial_variants(cfg, cal, truth, seed=23)
 
     def fail_rate(sig):
         b = EventBatch(signal=jnp.asarray(sig.astype(np.float32)),
@@ -135,24 +134,9 @@ def main() -> int:
 
     clean_rate = (int(out.n_fit_failure) /
                   max(int(out.n_fit_success) + int(out.n_fit_failure), 1))
-    x = np.arange(cfg.ntime, dtype=np.float64)
-    # wrong shape: gaussian pulses where the fit assumes the spline template
-    wrong = truth.pedestal[..., None] + 0.5 * rng_a.standard_normal(
-        truth.signal.shape)
-    centers = np.where(truth.times[..., :1] > 0, truth.times[..., :1],
-                       cal.timeref[None, :, None])
-    wrong += np.maximum(truth.amps[..., :1], 40.0) * np.exp(
-        -0.5 * ((x[None, None, :] - centers) / 3.0) ** 2)
-    r_wrong, n_wrong = fail_rate(wrong)
-    # correlated noise: 7-bin moving-average noise, 4x amplitude
-    white = rng_a.standard_normal(truth.signal.shape)
-    corr_noise = np.cumsum(white, axis=-1)
-    corr_noise[..., 7:] -= corr_noise[..., :-7].copy()
-    corr = truth.signal + 4.0 * corr_noise / np.sqrt(7.0)
-    r_corr, n_corr = fail_rate(corr)
-    # clipped: scale up then saturate at a fixed ADC ceiling
-    clipped = np.minimum(truth.signal * 6.0, 600.0)
-    r_clip, n_clip = fail_rate(clipped)
+    r_wrong, n_wrong = fail_rate(adv["wrong_shape"])
+    r_corr, n_corr = fail_rate(adv["correlated_noise"])
+    r_clip, n_clip = fail_rate(adv["clipped"])
     print("fit failure rates -- clean synthetic (same model as fit): "
           f"{clean_rate:.2%}; wrong-shape: {r_wrong:.2%} ({n_wrong} fits); "
           f"correlated-noise: {r_corr:.2%} ({n_corr}); "

@@ -110,6 +110,11 @@ def _dp_du(u, lo, hi, param_mask):
     return jnp.where(param_mask & (half > 0), d, 0.0)
 
 
+# |sin(u)| above this counts as "parameter on its bound" for the KKT
+# convergence mask (1 - 5e-4 of the half-range from the box edge)
+_SAT_THRESH = 0.9995
+
+
 # ----------------------------------------------------------------------
 # Core LM loop
 # ----------------------------------------------------------------------
@@ -200,14 +205,29 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     ftol_eff = max(cfg.lm_ftol, 100.0 * eps)
     gtol_eff = max(cfg.lm_gtol, 100.0 * eps)
 
-    def gcrit_of(A, g, chi2):
+    def gcrit_of(A, g, chi2, u):
         # MINPACK-style scaled-gradient criterion, independent of lambda:
-        # max_j |g_j| / (||J_j|| * ||r||) <= gtol  => at a (local) minimum.
+        # max_j |g_j| / (||J_j|| * ||r||) <= gtol  => at a (local) minimum —
+        # over the KKT-free components only. At an ACTIVE bound the sin
+        # transform gives dp/du -> 0, but the cos factor cancels between
+        # g_j and sqrt(diag_j), so the scaled gradient of a bound-pinned
+        # parameter never decays even when the constrained optimum is
+        # reached (Migrad certifies such fits; without this mask every
+        # bound-active lane burned its full budget and was flagged failed
+        # — the dominant "LM stuck" class in tools/solver_audit.py).
+        # KKT: a component is excluded iff the parameter sits on its bound
+        # AND the descent direction points outward (chi2 would only
+        # improve by leaving the feasible box).
         diag = jnp.diagonal(A, axis1=1, axis2=2)
         dead = diag <= 1e-30
+        sinu = jnp.sin(u)
+        push = g * _dp_du(u, lo, hi, param_mask)   # >0: descent raises p
+        kkt_active = ((sinu > _SAT_THRESH) & (push > 0)) | \
+                     ((sinu < -_SAT_THRESH) & (push < 0))
+        skip = dead | kkt_active
         denom = jnp.sqrt(jnp.where(dead, 1.0, diag)) * \
             jnp.sqrt(jnp.maximum(chi2, eps))[:, None]
-        return jnp.max(jnp.where(dead, 0.0, jnp.abs(g)) / denom, axis=1)
+        return jnp.max(jnp.where(skip, 0.0, jnp.abs(g)) / denom, axis=1)
 
     # The normal equations of the CURRENT point ride in the carry, so each
     # iteration costs exactly one model evaluation (at the trial point):
@@ -232,7 +252,7 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
         return (s["it"] < max_iter) & ~jnp.all(s["done"])
 
     def one_step(s):
-        gcrit = gcrit_of(s["A"], s["g"], s["chi2"])
+        gcrit = gcrit_of(s["A"], s["g"], s["chi2"], s["u"])
         conv_g = gcrit < gtol_eff
 
         delta = solve_damped(s["A"], s["g"], s["lam"])
