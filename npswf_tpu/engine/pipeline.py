@@ -130,7 +130,10 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     x0 = calib["spline_x0"].astype(dtype)
     kern = calib["mfkern_rev"].astype(dtype)
 
-    present = batch.pres & preswf[None, :]                     # [E, B]
+    # coerce to bool: integer present flags (the decoder's raw 0/1 column,
+    # synthetic truth) would otherwise int-promote every downstream mask and
+    # break the fit cond's branch-dtype agreement
+    present = batch.pres.astype(bool) & preswf[None, :]        # [E, B]
     flat_sig = signal.reshape(N, T)
     flat_present = present.reshape(N)
     if batch.minsignal is not None:
@@ -472,6 +475,79 @@ def _pack_jit(out: PipelineOutput, cap: int) -> WriterPacket:
 def make_writer_pack(cap: int):
     """jitted device-side packer with static flat-buffer capacity."""
     return functools.partial(_pack_jit, cap=cap)
+
+
+# ----------------------------------------------------------------------
+# Single-buffer packet serialization (one D2H transfer per batch)
+# ----------------------------------------------------------------------
+# The remote-device link pays a per-transfer latency (and, on tunneled
+# devices, a stall lottery) for every fetched array; a WriterPacket is 22
+# arrays. Serializing it into ONE f32 buffer on device makes the whole
+# downlink a single transfer. Every field is exactly representable in f32:
+# pulse counts <= 12, flat counts < 2^24, bools, and the f32 pipeline
+# outputs themselves.
+
+def _packet_layout(E: int, B: int, cap: int):
+    """[(field, shape, dtype)] in serialization order."""
+    i32, f32, bl = jnp.int32, None, bool
+    return [
+        ("wfnpulse", (E, B), i32), ("wf_counts_e", (E,), i32),
+        ("wftime_flat", (cap,), f32), ("wfampl_flat", (cap,), f32),
+        ("n_wf", (), i32), ("h_counts_e", (E,), i32),
+        ("h1time_flat", (cap,), f32), ("h2time_flat", (cap,), f32),
+        ("n_h", (), i32), ("chi2", (E, B), f32), ("ampl", (E, B), f32),
+        ("amplwf", (E, B), f32), ("timewf", (E, B), f32),
+        ("pedwf", (E, B), f32), ("enertot", (E,), f32),
+        ("integtot", (E,), f32), ("search_overflow", (E, B), bl),
+        ("n_fit_success", (), i32), ("n_fit_failure", (), i32),
+        ("n_fit_dropped", (), i32), ("n_high_pulse", (), i32),
+        ("n_search_dropped", (), i32),
+    ]
+
+
+def flatten_packet(pkt: WriterPacket) -> jnp.ndarray:
+    """Serialize (on device) to one [total] f32 vector."""
+    parts = [jnp.ravel(getattr(pkt, name)).astype(jnp.float32)
+             for name, _, _ in _packet_layout(*pkt.wfnpulse.shape,
+                                              pkt.wftime_flat.shape[0])]
+    return jnp.concatenate(parts)
+
+
+def unflatten_packet(buf, E: int, B: int, cap: int) -> WriterPacket:
+    """Host-side inverse of ``flatten_packet`` (numpy in, numpy out)."""
+    import numpy as np
+    buf = np.asarray(buf)
+    fields = {}
+    off = 0
+    for name, shape, dt in _packet_layout(E, B, cap):
+        n = 1
+        for s in shape:
+            n *= s
+        v = buf[off:off + n].reshape(shape)
+        if dt is not None:
+            v = v.astype(dt if dt is bool else np.int32)
+        fields[name] = v if shape else v[()]
+        off += n
+    return WriterPacket(**fields)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cap"))
+def _packed_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                batch: EventBatch, cap: int):
+    out = process_batch(cfg, calib, batch)
+    return flatten_packet(pack_for_writer(out, cap)), out
+
+
+def make_pipeline_packed(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                         cap: int):
+    """One jit: process_batch + writer packing + single-buffer serialization.
+
+    Returns ``fn(batch) -> (flat_packet [total] f32, PipelineOutput)``; the
+    caller fetches only the flat packet (one transfer) and keeps the full
+    output on device for the rare flat-buffer-overflow fallback. Jit-cached
+    process-wide on (cfg, shapes, cap) like ``make_pipeline``.
+    """
+    return functools.partial(_packed_jit, cfg, calib, cap=cap)
 
 
 def make_pipeline(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

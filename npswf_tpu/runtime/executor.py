@@ -152,15 +152,37 @@ def _upload_signal(cfg: NPSConfig, d: DecodedBatch, dtype) -> jnp.ndarray:
     return _dev_cast(jnp.asarray(_maybe_int16(d.signal)), dt)
 
 
+@functools.partial(jax.jit, static_argnames=("B", "dt"))
+def _dev_unpack_small(combo, B, dt):
+    """Split the combined [E, 2B+3] f64 host array into EventBatch fields."""
+    minsignal = combo[:, :B].astype(dt)
+    pres = combo[:, B:2 * B] != 0.0
+    corr = combo[:, 2 * B].astype(dt)
+    evt = combo[:, 2 * B + 1].astype(jnp.int32)
+    runnum = combo[:, 2 * B + 2].astype(jnp.int32)
+    return pres, corr, evt, runnum, minsignal
+
+
 def _upload_batch(cfg: NPSConfig, d: DecodedBatch, dtype) -> EventBatch:
+    """Decoded batch -> device EventBatch in exactly TWO host->device
+    transfers: the (compacted/int16) signal and one combined f64 array of
+    every small field. The remote link pays per-transfer latency (tunneled
+    devices add an intermittent stall lottery), so transfer COUNT matters
+    as much as bytes."""
     B = cfg.nblocks
+    E = d.signal.shape[0]
+    combo = np.empty((E, 2 * B + 3), np.float64)
+    combo[:, :B] = d.minsignal
+    combo[:, B:2 * B] = d.pres[:, :B]
+    combo[:, 2 * B] = d.corr_time_HMS
+    combo[:, 2 * B + 1] = d.evt
+    combo[:, 2 * B + 2] = d.runnum
+    pres, corr, evt, runnum, minsignal = _dev_unpack_small(
+        jnp.asarray(combo), B, np.dtype(dtype))
     return EventBatch(
         signal=_upload_signal(cfg, d, dtype),
-        pres=jnp.asarray(d.pres[:, :B].astype(bool)),
-        corr_time_HMS=jnp.asarray(d.corr_time_HMS.astype(dtype)),
-        evt=jnp.asarray(d.evt),
-        runnum=jnp.asarray(d.runnum),
-        minsignal=jnp.asarray(d.minsignal.astype(dtype)))
+        pres=pres, corr_time_HMS=corr, evt=evt, runnum=runnum,
+        minsignal=minsignal)
 
 
 class _Progress:
@@ -207,6 +229,9 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     dtype = np.dtype(cfg.compute_dtype)
     calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
 
+    from npswf_tpu.engine.pipeline import make_pipeline_packed
+    pack_cap = 2 * batch_size * cfg.nblocks
+    packed = None
     if mesh is not None:
         from npswf_tpu.parallel.mesh import (make_sharded_pipeline,
                                              shard_calibration,
@@ -218,6 +243,8 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             return base(shard_event_batch(cfg, b, mesh))
     else:
         pipeline = make_pipeline(cfg, calib)
+        # single-dispatch fused pipeline+packer (one RPC out, one fetch in)
+        packed = make_pipeline_packed(cfg, calib, pack_cap)
 
     E_total = seg.n_events
     parts_dir = out_path + ".parts"
@@ -247,21 +274,25 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     from npswf_tpu.utils.timers import device_trace
     trace_ctx = device_trace(profile_dir)
     trace_ctx.__enter__()
-    from npswf_tpu.engine.pipeline import make_writer_pack
-    pack_cap = 2 * batch_size * cfg.nblocks
-    pack = make_writer_pack(pack_cap)
+    from npswf_tpu.engine.pipeline import (flatten_packet, pack_for_writer,
+                                           unflatten_packet)
+    if packed is None:
+        # mesh path: pack+serialize as a second jit over the sharded output
+        _flat = jax.jit(lambda o: flatten_packet(pack_for_writer(o, pack_cap)))
 
     def write_part(item):
         nonlocal done_events
-        lo, hi, n_valid, d_pad, out, pkt = item
+        lo, hi, n_valid, d_pad, out, flat = item
+        # ONE device_get of the serialized packet blocks on the device
+        # results here — by which time the NEXT batch is already
+        # dispatched, so the transfer and part writing hide behind
+        # device compute. The packet is ~4x smaller than the full
+        # PipelineOutput AND a single buffer (one transfer; the remote
+        # link pays per-transfer latency — PERF.md, end-to-end section)
+        with timers.stage("fetch"):
+            buf = np.asarray(flat)
+        pkt_host = unflatten_packet(buf, batch_size, cfg.nblocks, pack_cap)
         with timers.stage("write"):
-            # one bulk device_get of the compact packet blocks on the device
-            # results here — by which time the NEXT batch is already
-            # dispatched, so the transfer and part writing hide behind
-            # device compute (and the packet is ~4x smaller than the full
-            # PipelineOutput — the decisive cut when the host<->device link
-            # is the end-to-end bottleneck, PERF.md)
-            pkt_host = jax.device_get(pkt)
             w = WFWriter(cfg)
             if int(pkt_host.n_wf) > pack_cap or int(pkt_host.n_h) > pack_cap:
                 # >2 pulses/block average over the whole batch: flat-buffer
@@ -297,11 +328,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                     .get(int(bad[e]), f"slot number problem (slot {bad[e]})")
                 log.warning("event %s: %s", d.evt[e], kind)
         with timers.stage("pipeline"):
-            out = pipeline(dev_batch)                           # async dispatch
-            pkt = pack(out)                                     # async too
+            if packed is not None:
+                flat, out = packed(dev_batch)                   # one dispatch
+            else:
+                out = pipeline(dev_batch)                       # async dispatch
+                flat = _flat(out)
         if inflight is not None:
             write_part(inflight)
-        inflight = (lo, hi, n_valid, d_pad, out, pkt)
+        inflight = (lo, hi, n_valid, d_pad, out, flat)
     if inflight is not None:
         write_part(inflight)
     trace_ctx.__exit__(None, None, None)

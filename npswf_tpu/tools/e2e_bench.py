@@ -46,6 +46,10 @@ def build_tiled_segment(cfg: NPSConfig, cal: CalibrationBundle,
     """
     truth = make_events(cfg, cal, base_events, occupancy=occupancy,
                         max_pulses=2, pileup_prob=0.25, seed=seed)
+    # real FADC streams carry integral ADC counts stored as doubles (ref
+    # TEST_2.C:854-889); quantize the synthetic waveforms the same way so
+    # the bench exercises the production uplink (lossless int16 route)
+    truth.signal = np.rint(truth.signal)
     pres = (truth.npulse > 0) if sparse_readout else np.ones_like(
         truth.npulse, dtype=bool)
     rng = np.random.default_rng(seed + 1)
@@ -102,7 +106,8 @@ def measure_device_only(cfg: NPSConfig, cal: CalibrationBundle,
 
 
 def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
-             batch_size: int, mode: str, workdir: str) -> dict:
+             batch_size: int, mode: str, workdir: str,
+             compress: bool = False) -> dict:
     from npswf_tpu.runtime.executor import run_segment
     from npswf_tpu.utils.timers import StageTimer
 
@@ -126,7 +131,8 @@ def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
     timers = StageTimer()
     t0 = time.perf_counter()
     res = run_segment(cfg, cal, seg, out_path, batch_size=batch_size,
-                      resume=False, timers=timers, progress_every=10 ** 9)
+                      resume=False, timers=timers, progress_every=10 ** 9,
+                      compress_output=compress)
     wall = time.perf_counter() - t0
     e2e_bps = n_events * cfg.nblocks / wall
     frac = e2e_bps / dev_bps
@@ -153,6 +159,10 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", choices=["dense", "sparse", "both"],
                     default="both")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--compress", action="store_true",
+                    help="DEFLATE the final merged file (the default is "
+                    "ZIP_STORED: single-core DEFLATE of the multi-hundred-MB "
+                    "output would dominate the job; both are valid .npz)")
     args = ap.parse_args(argv)
 
     import jax
@@ -165,7 +175,7 @@ def main(argv=None) -> int:
         modes = ["dense", "sparse"] if args.mode == "both" else [args.mode]
         for m in modes:
             results.append(run_mode(cfg, cal, args.events, args.batch_size,
-                                    m, workdir))
+                                    m, workdir, compress=args.compress))
     finally:
         if args.workdir is None:
             shutil.rmtree(workdir, ignore_errors=True)
