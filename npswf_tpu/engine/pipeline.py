@@ -487,22 +487,46 @@ def make_writer_pack(cap: int):
 # pulse counts <= 12, flat counts < 2^24, bools, and the f32 pipeline
 # outputs themselves.
 
-def _packet_layout(E: int, B: int, cap: int):
-    """[(field, shape, dtype)] in serialization order."""
+# the per-lane [E, B] packet fields, in order (subject to lane compaction)
+_LANE_FIELDS = ("wfnpulse", "chi2", "ampl", "amplwf", "timewf", "pedwf",
+                "search_overflow")
+
+
+def _packet_layout(E: int, B: int, cap: int, lane_cap: int = 0):
+    """[(field, shape, dtype)] in serialization order.
+
+    ``lane_cap`` > 0 switches the [E, B] lane fields to present-lane
+    compacted [lane_cap] rows (row-major order of the decoder's ``pres``
+    mask, which BOTH sides know — the host from the decoded batch, the
+    device from the uploaded EventBatch — so no index vector is needed),
+    followed by one default value per lane field (the shared output of
+    every absent lane: the decoder zero-fills absent waveforms and
+    ``block_diagnostics`` is a function of the signal alone, so all
+    absent lanes produce identical values) and ``n_pres`` for the
+    overflow check.
+    """
     i32, f32, bl = jnp.int32, None, bool
-    return [
-        ("wfnpulse", (E, B), i32), ("wf_counts_e", (E,), i32),
+    lane_shape = (lane_cap,) if lane_cap > 0 else (E, B)
+    lane_dt = {"wfnpulse": i32, "search_overflow": bl}
+    layout = [
+        ("wfnpulse", lane_shape, i32), ("wf_counts_e", (E,), i32),
         ("wftime_flat", (cap,), f32), ("wfampl_flat", (cap,), f32),
         ("n_wf", (), i32), ("h_counts_e", (E,), i32),
         ("h1time_flat", (cap,), f32), ("h2time_flat", (cap,), f32),
-        ("n_h", (), i32), ("chi2", (E, B), f32), ("ampl", (E, B), f32),
-        ("amplwf", (E, B), f32), ("timewf", (E, B), f32),
-        ("pedwf", (E, B), f32), ("enertot", (E,), f32),
-        ("integtot", (E,), f32), ("search_overflow", (E, B), bl),
+        ("n_h", (), i32), ("chi2", lane_shape, f32),
+        ("ampl", lane_shape, f32),
+        ("amplwf", lane_shape, f32), ("timewf", lane_shape, f32),
+        ("pedwf", lane_shape, f32), ("enertot", (E,), f32),
+        ("integtot", (E,), f32), ("search_overflow", lane_shape, bl),
         ("n_fit_success", (), i32), ("n_fit_failure", (), i32),
         ("n_fit_dropped", (), i32), ("n_high_pulse", (), i32),
         ("n_search_dropped", (), i32),
     ]
+    if lane_cap > 0:
+        layout += [(f"default_{f}", (), lane_dt.get(f))
+                   for f in _LANE_FIELDS]
+        layout.append(("n_pres", (), i32))
+    return layout
 
 
 def flatten_packet(pkt: WriterPacket) -> jnp.ndarray:
@@ -513,13 +537,53 @@ def flatten_packet(pkt: WriterPacket) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
-def unflatten_packet(buf, E: int, B: int, cap: int) -> WriterPacket:
-    """Host-side inverse of ``flatten_packet`` (numpy in, numpy out)."""
+def flatten_packet_sparse(pkt: WriterPacket, pres: jnp.ndarray,
+                          lane_cap: int) -> jnp.ndarray:
+    """Serialize with present-lane compaction of the [E, B] fields.
+
+    ``pres`` is the decoder's present mask [E, B] (EventBatch.pres as
+    uploaded — NOT masked by preswf: a pres lane with no reference
+    waveform still carries a real signal whose diagnostics the writer
+    persists). Lane values are packed in row-major present order; one
+    default value (taken from the first absent lane) covers every
+    absent lane, which all share identical outputs (zero-filled signal).
+    """
+    E, B = pkt.wfnpulse.shape
+    v = pres.reshape(-1).astype(bool)
+    sel = jnp.argsort(~v, stable=True)[:lane_cap]     # row-major pres first
+    idx_abs = jnp.argmin(v)                           # first absent lane
+    parts = []
+    for name, shape, _ in _packet_layout(E, B, pkt.wftime_flat.shape[0],
+                                         lane_cap):
+        if name.startswith("default_"):
+            val = getattr(pkt, name[len("default_"):]).reshape(-1)[idx_abs]
+        elif name == "n_pres":
+            val = jnp.sum(v.astype(jnp.int32))
+        elif name in _LANE_FIELDS:
+            val = getattr(pkt, name).reshape(-1)[sel]
+        else:
+            val = getattr(pkt, name)
+        parts.append(jnp.ravel(val).astype(jnp.float32))
+    return jnp.concatenate(parts)
+
+
+def unflatten_packet(buf, E: int, B: int, cap: int,
+                     pres=None, lane_cap: int = 0):
+    """Host-side inverse of ``flatten_packet`` (numpy in, numpy out).
+
+    For a sparse packet (``lane_cap`` > 0) the caller passes the decoded
+    ``pres`` [E, B] host mask; lane fields are reconstructed dense by
+    scattering the compacted rows over the default value.
+
+    Returns ``(packet, lane_overflow)``: ``lane_overflow`` is True when
+    the batch had more present lanes than ``lane_cap`` (the packet's
+    lane fields are then unusable — the executor falls back to the
+    dense fetch of the full PipelineOutput)."""
     import numpy as np
     buf = np.asarray(buf)
     fields = {}
     off = 0
-    for name, shape, dt in _packet_layout(E, B, cap):
+    for name, shape, dt in _packet_layout(E, B, cap, lane_cap):
         n = 1
         for s in shape:
             n *= s
@@ -528,26 +592,44 @@ def unflatten_packet(buf, E: int, B: int, cap: int) -> WriterPacket:
             v = v.astype(dt if dt is bool else np.int32)
         fields[name] = v if shape else v[()]
         off += n
-    return WriterPacket(**fields)
+    overflow = False
+    if lane_cap > 0:
+        n_pres = int(fields.pop("n_pres"))
+        rows = np.flatnonzero(np.asarray(pres).astype(bool).reshape(-1))
+        overflow = n_pres > lane_cap
+        for f in _LANE_FIELDS:
+            default = fields.pop(f"default_{f}")
+            vals = fields[f]
+            dense = np.full(E * B, default, vals.dtype)
+            if not overflow:
+                dense[rows] = vals[: rows.size]
+            fields[f] = dense.reshape(E, B)
+    return WriterPacket(**fields), overflow
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "cap"))
+@functools.partial(jax.jit, static_argnames=("cfg", "cap", "lane_cap"))
 def _packed_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
-                batch: EventBatch, cap: int):
+                batch: EventBatch, cap: int, lane_cap: int = 0):
     out = process_batch(cfg, calib, batch)
-    return flatten_packet(pack_for_writer(out, cap)), out
+    pkt = pack_for_writer(out, cap)
+    flat = (flatten_packet_sparse(pkt, batch.pres, lane_cap)
+            if lane_cap > 0 else flatten_packet(pkt))
+    return flat, out
 
 
 def make_pipeline_packed(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
-                         cap: int):
+                         cap: int, lane_cap: int = 0):
     """One jit: process_batch + writer packing + single-buffer serialization.
 
     Returns ``fn(batch) -> (flat_packet [total] f32, PipelineOutput)``; the
     caller fetches only the flat packet (one transfer) and keeps the full
-    output on device for the rare flat-buffer-overflow fallback. Jit-cached
-    process-wide on (cfg, shapes, cap) like ``make_pipeline``.
+    output on device for the rare flat-buffer-overflow fallback. With
+    ``lane_cap`` > 0 the [E, B] lane fields ride present-lane compacted
+    (sparse readout: the downlink shrinks ~7x at production occupancy).
+    Jit-cached process-wide on (cfg, shapes, caps) like ``make_pipeline``.
     """
-    return functools.partial(_packed_jit, cfg, calib, cap=cap)
+    return functools.partial(_packed_jit, cfg, calib, cap=cap,
+                             lane_cap=lane_cap)
 
 
 def make_pipeline(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

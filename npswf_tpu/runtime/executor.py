@@ -30,6 +30,8 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Optional
 
+from collections import deque
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -117,6 +119,11 @@ def _dev_scatter(sig_c, rows, shape, dt):
     dense = jnp.zeros((E * B, T), dt).at[rows].set(
         sig_c.astype(dt), mode="drop")
     return dense.reshape(shape)
+
+
+def _pow2(n: int) -> int:
+    """Next power of two (bucketing keeps jit cache variants few)."""
+    return 1 << max(int(n) - 1, 1).bit_length()
 
 
 def _maybe_int16(sig: np.ndarray) -> np.ndarray:
@@ -229,8 +236,10 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     dtype = np.dtype(cfg.compute_dtype)
     calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
 
-    from npswf_tpu.engine.pipeline import make_pipeline_packed
-    pack_cap = 2 * batch_size * cfg.nblocks
+    from npswf_tpu.engine.pipeline import (flatten_packet,
+                                           make_pipeline_packed,
+                                           pack_for_writer, unflatten_packet)
+    E, B = batch_size, cfg.nblocks
     packed = None
     if mesh is not None:
         from npswf_tpu.parallel.mesh import (make_sharded_pipeline,
@@ -243,8 +252,6 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             return base(shard_event_batch(cfg, b, mesh))
     else:
         pipeline = make_pipeline(cfg, calib)
-        # single-dispatch fused pipeline+packer (one RPC out, one fetch in)
-        packed = make_pipeline_packed(cfg, calib, pack_cap)
 
     E_total = seg.n_events
     parts_dir = out_path + ".parts"
@@ -253,54 +260,71 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
 
     ranges = [(lo, min(lo + batch_size, E_total))
               for lo in range(0, E_total, batch_size)]
-
-    def decode(rng_):
-        lo, hi = rng_
-        with timers.stage("decode"):
-            d = decode_segment(cfg, cal, seg, lo, hi,
-                               use_native=use_native_decode)
-            d_pad = _pad_decoded(cfg, d, batch_size)
-        with timers.stage("upload"):
-            batch = _upload_batch(cfg, d_pad, dtype)
-        return d, d_pad, batch
-
-    pool = ThreadPoolExecutor(max_workers=1)
     pending = [r for r in ranges if not (resume and progress.done(*r))]
     if len(pending) < len(ranges):
         log.info("resume: skipping %d completed batches",
                  len(ranges) - len(pending))
-    fut = pool.submit(decode, pending[0]) if pending else None
+
+    # ---- packet sizing from the first batch's occupancy ----------------
+    # Sparse readout (production events light up 1-3% of the calorimeter)
+    # shrinks BOTH packet sections: present-lane compaction of the [E, B]
+    # fields and a smaller pulse flat-buffer. Sized once, from batch 0 —
+    # later batches that overflow fall back to the dense fetch (logged).
+    first = None
+    pack_cap, lane_cap = 2 * E * B, 0
+    if pending:
+        lo0, hi0 = pending[0]
+        with timers.stage("decode"):
+            d0 = decode_segment(cfg, cal, seg, lo0, hi0,
+                                use_native=use_native_decode)
+            d0_pad = _pad_decoded(cfg, d0, batch_size)
+        n_pres0 = int(d0_pad.pres[:, :B].astype(bool).sum())
+        if mesh is None and n_pres0 <= (E * B) // 4:
+            lane_cap = min(_pow2(max(1024, 2 * n_pres0)), E * B)
+            pack_cap = min(_pow2(max(4096, 8 * n_pres0)), 2 * E * B)
+        first = (d0, d0_pad)
+    if packed is None and mesh is None:
+        # single-dispatch fused pipeline+packer (one RPC out, one fetch in)
+        packed = make_pipeline_packed(cfg, calib, pack_cap, lane_cap)
+    if mesh is not None:
+        # mesh path: pack+serialize as a second jit over the sharded output
+        _flat = jax.jit(lambda o: flatten_packet(pack_for_writer(o, pack_cap)))
+
     done_events = 0
     from npswf_tpu.utils.timers import device_trace
     trace_ctx = device_trace(profile_dir)
     trace_ctx.__enter__()
-    from npswf_tpu.engine.pipeline import (flatten_packet, pack_for_writer,
-                                           unflatten_packet)
-    if packed is None:
-        # mesh path: pack+serialize as a second jit over the sharded output
-        _flat = jax.jit(lambda o: flatten_packet(pack_for_writer(o, pack_cap)))
 
-    def write_part(item):
+    def produce(rng_, pre_decoded=None):
+        """Decode -> upload -> dispatch (runs on a stage worker thread).
+
+        Upload and dispatch are async under JAX; doing them here lets
+        batch i+1's H2D ride the link while the main thread's blocking
+        fetch of batch i drains the D2H side (the tunnel is full-duplex,
+        PERF.md end-to-end section)."""
+        lo, hi = rng_
+        if pre_decoded is not None:
+            d, d_pad = pre_decoded
+        else:
+            with timers.stage("decode"):
+                d = decode_segment(cfg, cal, seg, lo, hi,
+                                   use_native=use_native_decode)
+                d_pad = _pad_decoded(cfg, d, batch_size)
+        with timers.stage("upload"):
+            dev_batch = _upload_batch(cfg, d_pad, dtype)
+        with timers.stage("pipeline"):
+            if packed is not None:
+                flat, out = packed(dev_batch)               # one dispatch
+            else:
+                out = pipeline(dev_batch)                   # async dispatch
+                flat = _flat(out)
+        return lo, hi, d, d_pad, out, flat
+
+    def write_part(lo, hi, n_valid, d_pad, pkt_host, out):
         nonlocal done_events
-        lo, hi, n_valid, d_pad, out, flat = item
-        # ONE device_get of the serialized packet blocks on the device
-        # results here — by which time the NEXT batch is already
-        # dispatched, so the transfer and part writing hide behind
-        # device compute. The packet is ~4x smaller than the full
-        # PipelineOutput AND a single buffer (one transfer; the remote
-        # link pays per-transfer latency — PERF.md, end-to-end section)
-        with timers.stage("fetch"):
-            buf = np.asarray(flat)
-        pkt_host = unflatten_packet(buf, batch_size, cfg.nblocks, pack_cap)
         with timers.stage("write"):
             w = WFWriter(cfg)
-            if int(pkt_host.n_wf) > pack_cap or int(pkt_host.n_h) > pack_cap:
-                # >2 pulses/block average over the whole batch: flat-buffer
-                # overflow; fall back to the full (uncompacted) output
-                log.warning("writer-packet overflow (%d/%d wf, %d/%d h); "
-                            "falling back to dense fetch",
-                            int(pkt_host.n_wf), pack_cap,
-                            int(pkt_host.n_h), pack_cap)
+            if pkt_host is None:
                 w.add_batch(out, d_pad, n_valid=n_valid)
             else:
                 w.add_packet(pkt_host, d_pad, n_valid=n_valid)
@@ -313,33 +337,68 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             log.info(" Entry = %d  elapsed=%.2fs (%.0f ev/s)",
                      lo + n_valid, dt_el, done_events / max(dt_el, 1e-9))
 
-    inflight = None   # one dispatched-but-unwritten batch (double buffering)
-    for i, (lo, hi) in enumerate(pending):
-        d, d_pad, dev_batch = fut.result()
-        if i + 1 < len(pending):
-            fut = pool.submit(decode, pending[i + 1])  # overlap next decode
-        n_valid = hi - lo
-        bad = d.bad_slot[:n_valid]
-        if np.any(bad != -1):
-            # the reference's per-event warnings (slot problem ref :867-872,
-            # Ndata guard ref :830-836), aggregated per batch
-            for e in np.nonzero(bad != -1)[0]:
-                kind = {-2: "truncated stream", -3: "oversize (Ndata guard)"}\
-                    .get(int(bad[e]), f"slot number problem (slot {bad[e]})")
-                log.warning("event %s: %s", d.evt[e], kind)
-        with timers.stage("pipeline"):
-            if packed is not None:
-                flat, out = packed(dev_batch)                   # one dispatch
-            else:
-                out = pipeline(dev_batch)                       # async dispatch
-                flat = _flat(out)
-        if inflight is not None:
-            write_part(inflight)
-        inflight = (lo, hi, n_valid, d_pad, out, flat)
-    if inflight is not None:
-        write_part(inflight)
-    trace_ctx.__exit__(None, None, None)
-    pool.shutdown()
+    # three-deep pipeline: 2 stage workers (decode+upload+dispatch), the
+    # main thread fetches results in order, 1 writer thread persists parts.
+    stage_pool = ThreadPoolExecutor(max_workers=2)
+    write_pool = ThreadPoolExecutor(max_workers=1)
+    max_inflight = 3
+    futs = deque()
+    wfuts = deque()
+    idx_next = 0
+
+    def submit_next():
+        nonlocal idx_next, first
+        if idx_next < len(pending):
+            pre = first if idx_next == 0 else None
+            first = None
+            futs.append(stage_pool.submit(produce, pending[idx_next], pre))
+            idx_next += 1
+
+    try:
+        for _ in range(max_inflight):
+            submit_next()
+        while futs:
+            lo, hi, d, d_pad, out, flat = futs.popleft().result()
+            submit_next()
+            n_valid = hi - lo
+            bad = d.bad_slot[:n_valid]
+            if np.any(bad != -1):
+                # the reference's per-event warnings (slot problem ref
+                # :867-872, Ndata guard ref :830-836), per batch
+                for e in np.nonzero(bad != -1)[0]:
+                    kind = {-2: "truncated stream",
+                            -3: "oversize (Ndata guard)"}\
+                        .get(int(bad[e]),
+                             f"slot number problem (slot {bad[e]})")
+                    log.warning("event %s: %s", d.evt[e], kind)
+            # ONE device_get of the serialized packet; batches i+1, i+2 are
+            # already dispatched, so compute hides behind this transfer
+            with timers.stage("fetch"):
+                buf = np.asarray(flat)
+            pkt_host, lane_ovf = unflatten_packet(
+                buf, batch_size, cfg.nblocks, pack_cap,
+                pres=d_pad.pres[:, :B], lane_cap=lane_cap)
+            if lane_ovf or int(pkt_host.n_wf) > pack_cap \
+                    or int(pkt_host.n_h) > pack_cap:
+                # occupancy burst beyond the batch-0 sizing: fall back to
+                # the full (uncompacted) device output for this batch
+                log.warning("writer-packet overflow (%d/%d wf, %d/%d h, "
+                            "lane_ovf=%s); falling back to dense fetch",
+                            int(pkt_host.n_wf), pack_cap,
+                            int(pkt_host.n_h), pack_cap, lane_ovf)
+                pkt_host = None
+            wfuts.append(write_pool.submit(
+                write_part, lo, hi, n_valid, d_pad, pkt_host, out))
+            while len(wfuts) > 2:
+                wfuts.popleft().result()
+        for wf_ in wfuts:
+            wf_.result()
+    finally:
+        # on error: let queued part writes finish (progress sidecar stays
+        # resumable), then surface the original exception
+        trace_ctx.__exit__(None, None, None)
+        stage_pool.shutdown(wait=True)
+        write_pool.shutdown(wait=True)
 
     # ---- ordered merge of parts (the temp->final clone, ref :1396-1432) ----
     # streaming two-pass merge: peak memory = one part's largest column,

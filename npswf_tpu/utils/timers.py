@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import threading
 import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
@@ -17,9 +18,13 @@ log = logging.getLogger("npswf")
 
 
 class StageTimer:
+    """Cumulative named timers; safe to use from the executor's stage
+    worker threads (the += on the totals dict is guarded)."""
+
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str) -> Iterator[None]:
@@ -28,8 +33,9 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def report(self) -> str:
         lines = [f"  {name}: {self.totals[name]:.3f}s ({self.counts[name]} calls)"

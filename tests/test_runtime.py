@@ -186,3 +186,58 @@ def test_writer_packet_matches_dense_path(cfg, synth_paths, tmp_path):
     for k in cols_a:
         np.testing.assert_array_equal(
             cols_a[k], cols_b[k], err_msg=f"column {k} differs")
+
+
+def test_sparse_packet_roundtrip_and_overflow(cfg, synth_paths, tmp_path):
+    """Present-lane-compacted packet serialization must reconstruct the
+    dense WriterPacket bit-exactly (absent lanes share one default), and
+    an undersized lane_cap must flag overflow instead of corrupting."""
+    import jax
+    import jax.numpy as jnp
+    from npswf_tpu.core.calibration import CalibrationBundle
+    from npswf_tpu.engine.pipeline import (flatten_packet,
+                                           flatten_packet_sparse,
+                                           make_pipeline, make_writer_pack,
+                                           unflatten_packet)
+    from npswf_tpu.io.decode import decode_segment
+    from npswf_tpu.runtime.executor import _pad_decoded, _to_event_batch
+
+    seg_path, cal_path = synth_paths
+    cal = CalibrationBundle.load(cal_path)
+    seg = read_segment(seg_path)
+    E = 4
+    d = _pad_decoded(cfg, decode_segment(cfg, cal, seg, 0, 3), E)
+    batch = _to_event_batch(cfg, d, np.dtype(cfg.compute_dtype))
+    calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
+    out = make_pipeline(cfg, calib)(batch)
+    cap = 2 * E * cfg.nblocks
+    pkt = make_writer_pack(cap)(out)
+    pres = d.pres[:, :cfg.nblocks]
+    n_pres = int(pres.astype(bool).sum())
+    assert 0 < n_pres < E * cfg.nblocks   # sparse synth fixture
+
+    dense_pkt, ovf0 = unflatten_packet(
+        np.asarray(jax.jit(flatten_packet)(pkt)), E, cfg.nblocks, cap)
+    assert not ovf0
+
+    lane_cap = max(16, n_pres)
+    flat_s = jax.jit(flatten_packet_sparse,
+                     static_argnames=("lane_cap",))(
+        pkt, batch.pres, lane_cap=lane_cap)
+    assert flat_s.size < np.asarray(jax.jit(flatten_packet)(pkt)).size
+    sp_pkt, ovf = unflatten_packet(np.asarray(flat_s), E, cfg.nblocks, cap,
+                                   pres=pres, lane_cap=lane_cap)
+    assert not ovf
+    for f in dense_pkt._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(dense_pkt, f)), np.asarray(getattr(sp_pkt, f)),
+            err_msg=f"sparse-packet field {f} differs")
+
+    # undersized capacity: overflow flagged, executor would dense-fallback
+    small = max(1, n_pres // 2)
+    flat_o = jax.jit(flatten_packet_sparse,
+                     static_argnames=("lane_cap",))(
+        pkt, batch.pres, lane_cap=small)
+    _, ovf2 = unflatten_packet(np.asarray(flat_o), E, cfg.nblocks, cap,
+                               pres=pres, lane_cap=small)
+    assert ovf2
