@@ -103,6 +103,14 @@ class NPSConfig:
     # sequential chunk walk. Results are identical lane-for-lane (the LM
     # update is row-wise); pick by what the hardware is bound on.
     lm_stage2_mode: str = "compact"
+    # stage-3 bound-escape restart (fit/lm.py): re-solves lanes still
+    # failed after the stage-2 seed restart from the stage-1 end point
+    # with bound-saturated sin-transform components pulled interior.
+    # Cuts adversarial failure rates ~5x (SOLVER_AUDIT.md) for ~10% of
+    # the dense-batch fit budget; disable for maximum throughput at the
+    # reference's failure semantics (it stops after the strategy-2
+    # retry, ref TEST_2.C:761-791 — PARITY.md Q8).
+    lm_stage3: bool = True
 
     # ---- waveform model family (the reference hardcodes the spline model
     #      in its fit lambda, ref TEST_2.C:621-635; here it is pluggable) ----

@@ -358,47 +358,92 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     #   been retried — the reference retries all failures (ref :761-773),
     #   so there is no silent cap. A clean batch runs zero chunks.
     failed1 = inp.active & ~conv1
-    if cfg.lm_stage2_mode == "masked":
-        u2, chi2_2, conv2, it2, _ = lm_solve(
-            cfg, model, inp, u0, lo, hi, p_seed, pm, failed1,
-            s2_cap, cfg.lm_lambda_init * 10.0, s2_budget)
-        return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
-                        failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
-    n2 = max(min(N, 128), N // 16)
-    order2 = jnp.argsort(~failed1, stable=True)          # failed lanes first
-    n_failed = jnp.sum(failed1).astype(jnp.int32)
 
-    def retry_cond(c):
-        return c[0] < n_failed
+    def _retry_pass(start_u, mask, lam0, denom):
+        """One restart pass over ``mask`` lanes from ``start_u``.
 
-    def retry_body(c):
-        start, u2, chi2_2, conv2, it2 = c
-        # the final chunk clamps to [N - n2, N): overlapped lanes are either
-        # re-solved deterministically to the same values or inactive
-        idx = jax.lax.dynamic_slice(order2, (start,), (n2,))
+        masked layout: one full-width solve (sequential depth <= s2_cap
+        regardless of failure count). compact layout: masked lanes
+        gathered to the front, re-solved in static-size chunks under a
+        while_loop until EVERY masked lane has been retried — the
+        reference retries all failures (ref :761-773), no silent cap;
+        a clean batch runs zero chunks. ``denom``: chunk = N/denom —
+        every pass pays at least ONE chunk of full retry depth, so the
+        chunk width must track that pass's typical failure mass (stage 2
+        carries the ~10% of lanes the 10-iteration stage-1 budget leaves;
+        stage 3 carries the <1% still failed after stage 2 — a narrower
+        chunk measured 4x cheaper there and identical results)."""
+        if cfg.lm_stage2_mode == "masked":
+            u2, chi2_2, conv2, it2, _ = lm_solve(
+                cfg, model, inp, start_u, lo, hi, p_seed, pm, mask,
+                s2_cap, lam0, s2_budget)
+            return u2, chi2_2, conv2, it2
+        n2 = max(min(N, 128), N // denom)
+        order2 = jnp.argsort(~mask, stable=True)     # masked lanes first
+        n_failed = jnp.sum(mask).astype(jnp.int32)
 
-        def take(x):
-            return jnp.take(x, idx, axis=0)
+        def retry_cond(c):
+            return c[0] < n_failed
 
-        inp2 = FitInputs(
-            y=take(inp.y), sigma=take(inp.sigma), coeffs=take(inp.coeffs),
-            x0=take(inp.x0), t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
-            ped_seed=take(inp.ped_seed), pulse_mask=take(inp.pulse_mask),
-            active=take(failed1),
-            timeref=None if inp.timeref is None else take(inp.timeref))
-        u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
-            cfg, model, inp2, take(u0), take(lo), take(hi),
-            take(p_seed), take(pm), take(failed1),
-            s2_cap, cfg.lm_lambda_init * 10.0, take(s2_budget))
-        return (start + jnp.asarray(n2, jnp.int32),
-                u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
-                conv2.at[idx].set(conv2c), it2.at[idx].set(it2c))
+        def retry_body(c):
+            start, u2, chi2_2, conv2, it2 = c
+            # the final chunk clamps to [N - n2, N): overlapped lanes are
+            # re-solved deterministically to the same values or inactive
+            idx = jax.lax.dynamic_slice(order2, (start,), (n2,))
 
-    _, u2, chi2_2, conv2, it2 = jax.lax.while_loop(
-        retry_cond, retry_body,
-        (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
-         jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
-         jnp.zeros_like(it1)))
+            def take(x):
+                return jnp.take(x, idx, axis=0)
+
+            inp2 = FitInputs(
+                y=take(inp.y), sigma=take(inp.sigma),
+                coeffs=take(inp.coeffs), x0=take(inp.x0),
+                t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
+                ped_seed=take(inp.ped_seed),
+                pulse_mask=take(inp.pulse_mask), active=take(mask),
+                timeref=None if inp.timeref is None else take(inp.timeref))
+            u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
+                cfg, model, inp2, take(start_u), take(lo), take(hi),
+                take(p_seed), take(pm), take(mask),
+                s2_cap, lam0, take(s2_budget))
+            return (start + jnp.asarray(n2, jnp.int32),
+                    u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
+                    conv2.at[idx].set(conv2c), it2.at[idx].set(it2c))
+
+        _, u2, chi2_2, conv2, it2 = jax.lax.while_loop(
+            retry_cond, retry_body,
+            (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
+             jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
+             jnp.zeros_like(it1)))
+        return u2, chi2_2, conv2, it2
+
+    # stage 2: restart failed lanes from the seeds with a bigger budget
+    # (Migrad strategy escalation, ref TEST_2.C:765-767)
+    u2, chi2_2, conv2, it2 = _retry_pass(u0, failed1,
+                                         cfg.lm_lambda_init * 10.0, 16)
+
+    # stage 3 (bound-escape): the sin transform sticks at active bounds —
+    # once |sin(u)| saturates, cos(u) -> 0 collapses the effective step
+    # and the lane can no longer walk back into the interior even when a
+    # better minimum exists there (tools/solver_audit.py measured scipy-
+    # TRF reaching 20-35% lower chi2 on exactly these lanes). Restart the
+    # still-failed lanes from the STAGE-1 END STATE with saturated
+    # components pulled back to sin(u) = +-0.8; converged-lane results
+    # from earlier stages are never revisited, so stages 1-2 outputs are
+    # unchanged. On the adversarial ensembles this pass cuts the failure
+    # rate ~5x (wrong-shape 12.4% -> 1.5%; SOLVER_AUDIT.md).
+    if cfg.lm_stage3:
+        failed2 = failed1 & ~conv2
+        sinu1 = jnp.sin(u1)
+        sat = jnp.abs(sinu1) > 0.95
+        u_pb = jnp.where(sat & pm, jnp.arcsin(0.8 * jnp.sign(sinu1)), u1)
+        u3, chi2_3, conv3, it3 = _retry_pass(u_pb, failed2,
+                                             cfg.lm_lambda_init, 64)
+        use3 = failed2 & conv3
+        u2 = jnp.where(use3[:, None], u3, u2)
+        chi2_2 = jnp.where(use3, chi2_3, chi2_2)
+        conv2 = conv2 | use3
+        it2 = it2 + jnp.where(failed2, it3, 0)
+
     return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
                     failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)
 

@@ -25,8 +25,8 @@ runs (peak search, cluster gate, error model, seed/bound construction —
 result-neutral), so the audited failures are exactly the pipeline's.
 
 Usage: python -m npswf_tpu.tools.solver_audit [--events 16] [--sample 150]
-Writes the classification table to stdout (markdown) and a JSON line; run
-via ``make_audit_report`` to regenerate SOLVER_AUDIT.md.
+Writes the classification table to stdout (markdown) and a JSON line;
+SOLVER_AUDIT.md records the committed runs.
 """
 from __future__ import annotations
 
@@ -154,7 +154,8 @@ def audit_signal(cfg: NPSConfig, cal: CalibrationBundle, signal: np.ndarray,
     chi2_lm = np.asarray(res.chi2, np.float64)
 
     n_stuck = n_same = n_better = 0
-    stuck_ratios = []
+    stuck_ratios, stuck_trf_ndf = [], []
+    K = cfg.fit_hi_bin - cfg.fit_lo_bin
     for i in take:
         m = 1 + 2 * int(pmask[i].sum())
         # masked pulse slots sit interleaved only when valid slots are a
@@ -169,6 +170,7 @@ def audit_signal(cfg: NPSConfig, cal: CalibrationBundle, signal: np.ndarray,
         if chi2_trf < ours * 0.95:
             n_stuck += 1
             stuck_ratios.append(chi2_trf / max(ours, 1e-12))
+            stuck_trf_ndf.append(chi2_trf / max(K - m, 1))
         elif chi2_trf > ours * 1.05:
             n_better += 1
         else:
@@ -180,7 +182,11 @@ def audit_signal(cfg: NPSConfig, cal: CalibrationBundle, signal: np.ndarray,
                same_minimum_frac=n_same / n_aud,
                lm_better_frac=n_better / n_aud,
                median_stuck_chi2_ratio=(float(np.median(stuck_ratios))
-                                        if stuck_ratios else None))
+                                        if stuck_ratios else None),
+               # is TRF's "better" minimum a GOOD fit? chi2/ndf >> 1 means
+               # the lane is unfittable data, not a solver weakness
+               median_stuck_trf_chi2_ndf=(float(np.median(stuck_trf_ndf))
+                                          if stuck_trf_ndf else None))
     return out
 
 
