@@ -160,13 +160,22 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         ps_c = find_pulses(cfg, flat_sig[sel_s], minsignal[sel_s],
                            kern_flat[sel_s], mfint_flat[sel_s],
                            flat_present[sel_s])
-        npulse = jnp.zeros((N,), jnp.int32).at[sel_s].set(ps_c.npulse)
-        seed_t_abs = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.times)
-        seed_a = jnp.zeros((N, P), dtype).at[sel_s].set(ps_c.amps)
-        pulse_mask = jnp.zeros((N, P), bool).at[sel_s].set(ps_c.valid)
-        # flag the present lanes that did not get a search slot, so they are
-        # distinguishable from genuinely empty blocks downstream
-        searched = jnp.zeros((N,), bool).at[sel_s].set(True)
+        # un-permute by gather (closed-form stable-argsort position), not
+        # by [N, P] scatters — see the fit-bucket un-permute below
+        nm_s = jnp.sum(flat_present).astype(jnp.int32)
+        pos_s = jnp.where(
+            flat_present, jnp.cumsum(flat_present.astype(jnp.int32)) - 1,
+            nm_s + jnp.cumsum((~flat_present).astype(jnp.int32)) - 1)
+        searched = flat_present & (pos_s < cap_s)
+        posc_s = jnp.minimum(pos_s, cap_s - 1)
+        npulse = jnp.where(searched, jnp.take(ps_c.npulse, posc_s), 0)
+        seed_t_abs = jnp.where(searched[:, None],
+                               jnp.take(ps_c.times, posc_s, axis=0), 0.0)
+        seed_a = jnp.where(searched[:, None],
+                           jnp.take(ps_c.amps, posc_s, axis=0), 0.0)
+        pulse_mask = jnp.take(ps_c.valid, posc_s, axis=0) & searched[:, None]
+        # present lanes that did not get a search slot are flagged, so they
+        # are distinguishable from genuinely empty blocks downstream
         search_overflow = flat_present & ~searched
         n_search_dropped = jnp.sum(search_overflow).astype(jnp.int32)
     else:
@@ -293,13 +302,24 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             chi2_ndf = jnp.where(infit, fres.chi2_ndf, chi2_ndf)
             converged = converged | (fres.converged & infit)
         else:
-            infit = jnp.zeros((N,), bool).at[sel].set(True) & mask
-            params = jnp.where(
-                infit[:, None], jnp.zeros((N, M), dtype).at[sel].set(pf), params)
-            chi2_ndf = jnp.where(
-                infit, jnp.zeros((N,), dtype).at[sel].set(fres.chi2_ndf), chi2_ndf)
-            converged = converged | (
-                jnp.zeros((N,), bool).at[sel].set(fres.converged) & infit)
+            # un-permute by GATHER, not scatter: lane i's slot in the
+            # stable argsort(~mask) compaction has the closed form
+            # pos[i] = cumsum(mask)-1 (masked) / n_masked + cumsum(~mask)-1
+            # (unmasked), so fres rows come back with one [N] take per
+            # output instead of the [N, M] scatter chain the TPU
+            # serializes (the bucket scatters were the largest slice of
+            # the measured pipeline glue, tools/glue_profile.py)
+            nm = jnp.sum(mask).astype(jnp.int32)
+            pos = jnp.where(
+                mask, jnp.cumsum(mask.astype(jnp.int32)) - 1,
+                nm + jnp.cumsum((~mask).astype(jnp.int32)) - 1)
+            infit = mask & (pos < cap_b)
+            posc = jnp.minimum(pos, cap_b - 1)
+            params = jnp.where(infit[:, None],
+                               jnp.take(pf, posc, axis=0), params)
+            chi2_ndf = jnp.where(infit, jnp.take(fres.chi2_ndf, posc),
+                                 chi2_ndf)
+            converged = converged | (jnp.take(fres.converged, posc) & infit)
         fitted = fitted | infit
         n_dropped = n_dropped + jnp.maximum(
             jnp.sum(mask) - cap_b, 0).astype(jnp.int32)
@@ -434,14 +454,20 @@ class WriterPacket(NamedTuple):
 
 
 def _ragged_flatten_device(mask, arrays, cap: int):
-    """Compact ``arrays[mask]`` (row-major) into [cap] buffers + true count."""
+    """Compact ``arrays[mask]`` (row-major) into [cap] buffers + true count.
+
+    One stable multi-operand ``lax.sort`` keyed on ``~mask`` front-packs
+    the masked elements in original (row-major) order; the outputs are its
+    first ``cap`` slots. Measured on the dense 64-event batch (829k
+    source elements, cap 138k, TPU v5e): sort 28 ms vs argsort+gathers
+    31 ms vs searchsorted-gather 50 ms vs the scatter formulation
+    (``zeros(cap).at[cumsum(mask)-1].set``) 86 ms — TPU serializes large
+    scatters, so the sort wins by 3x."""
     v = mask.reshape(-1)
-    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
-    tgt = jnp.where(v, pos, cap)        # out-of-range -> dropped
-    outs = tuple(
-        jnp.zeros((cap,), a.dtype).at[tgt].set(a.reshape(-1), mode="drop")
-        for a in arrays)
-    return outs, jnp.sum(v.astype(jnp.int32))
+    ops = ((~v).astype(jnp.int32),) + tuple(
+        jnp.where(v, a.reshape(-1), jnp.zeros((), a.dtype)) for a in arrays)
+    srt = jax.lax.sort(ops, dimension=0, num_keys=1, is_stable=True)
+    return tuple(s[:cap] for s in srt[1:]), jnp.sum(v.astype(jnp.int32))
 
 
 def pack_for_writer(out: PipelineOutput, cap: int) -> WriterPacket:
