@@ -638,21 +638,25 @@ def _packed_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                 batch: EventBatch, cap: int, lane_cap: int = 0):
     out = process_batch(cfg, calib, batch)
     pkt = pack_for_writer(out, cap)
-    flat = (flatten_packet_sparse(pkt, batch.pres, lane_cap)
+    return (flatten_packet_sparse(pkt, batch.pres, lane_cap)
             if lane_cap > 0 else flatten_packet(pkt))
-    return flat, out
 
 
 def make_pipeline_packed(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                          cap: int, lane_cap: int = 0):
     """One jit: process_batch + writer packing + single-buffer serialization.
 
-    Returns ``fn(batch) -> (flat_packet [total] f32, PipelineOutput)``; the
-    caller fetches only the flat packet (one transfer) and keeps the full
-    output on device for the rare flat-buffer-overflow fallback. With
-    ``lane_cap`` > 0 the [E, B] lane fields ride present-lane compacted
-    (sparse readout: the downlink shrinks ~7x at production occupancy).
-    Jit-cached process-wide on (cfg, shapes, caps) like ``make_pipeline``.
+    Returns ``fn(batch) -> flat_packet [total] f32`` — ONE device output
+    buffer, fetched in one transfer. Returning the full PipelineOutput
+    alongside it measured 3,873 ms/batch vs 139 ms/batch flat-only in the
+    pipelined regime on the tunneled device (the ~25 extra remote output
+    buffers dominate everything); callers needing the dense output for the
+    rare capacity-overflow fallback re-run the batch through
+    ``make_pipeline`` instead (costs one extra batch, only on overflow).
+    With ``lane_cap`` > 0 the [E, B] lane fields ride present-lane
+    compacted (sparse readout: the downlink shrinks ~7x at production
+    occupancy). Jit-cached process-wide on (cfg, shapes, caps) like
+    ``make_pipeline``.
     """
     return functools.partial(_packed_jit, cfg, calib, cap=cap,
                              lane_cap=lane_cap)

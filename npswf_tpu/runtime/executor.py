@@ -314,11 +314,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             dev_batch = _upload_batch(cfg, d_pad, dtype)
         with timers.stage("pipeline"):
             if packed is not None:
-                flat, out = packed(dev_batch)               # one dispatch
+                # ONE output buffer: returning the dense PipelineOutput
+                # alongside measured 3.9 s/batch vs 0.14 s flat-only on
+                # the tunneled device (25 extra remote buffers per step)
+                flat = packed(dev_batch)
             else:
                 out = pipeline(dev_batch)                   # async dispatch
                 flat = _flat(out)
-        return lo, hi, d, d_pad, out, flat
+        return lo, hi, d, d_pad, dev_batch, flat
 
     def write_part(lo, hi, n_valid, d_pad, pkt_host, out):
         nonlocal done_events
@@ -358,7 +361,7 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
         for _ in range(max_inflight):
             submit_next()
         while futs:
-            lo, hi, d, d_pad, out, flat = futs.popleft().result()
+            lo, hi, d, d_pad, dev_batch, flat = futs.popleft().result()
             submit_next()
             n_valid = hi - lo
             bad = d.bad_slot[:n_valid]
@@ -378,15 +381,19 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             pkt_host, lane_ovf = unflatten_packet(
                 buf, batch_size, cfg.nblocks, pack_cap,
                 pres=d_pad.pres[:, :B], lane_cap=lane_cap)
+            out = None
             if lane_ovf or int(pkt_host.n_wf) > pack_cap \
                     or int(pkt_host.n_h) > pack_cap:
-                # occupancy burst beyond the batch-0 sizing: fall back to
-                # the full (uncompacted) device output for this batch
+                # occupancy burst beyond the batch-0 sizing: re-run this
+                # batch through the dense pipeline (one extra batch of
+                # compute — the packed path returns only the flat buffer,
+                # see make_pipeline_packed)
                 log.warning("writer-packet overflow (%d/%d wf, %d/%d h, "
-                            "lane_ovf=%s); falling back to dense fetch",
+                            "lane_ovf=%s); re-running batch dense",
                             int(pkt_host.n_wf), pack_cap,
                             int(pkt_host.n_h), pack_cap, lane_ovf)
                 pkt_host = None
+                out = jax.device_get(pipeline(dev_batch))
             wfuts.append(write_pool.submit(
                 write_part, lo, hi, n_valid, d_pad, pkt_host, out))
             while len(wfuts) > 2:

@@ -163,15 +163,15 @@ def main(argv=None) -> int:
     fnp = pl.make_pipeline_packed(cfg, calib, cap)
     out = fnp(batch)
     jax.block_until_ready(out)
-    _ = np.asarray(fnp(batch)[0][:1])
+    _ = np.asarray(fnp(batch)[:1])
     t0 = time.perf_counter()
     prev = None
     for _ in range(args.iters):
         o = fnp(batch)
         if prev is not None:
-            _ = np.asarray(prev[0][:1])       # force, fetch 4 bytes
+            _ = np.asarray(prev[:1])          # force, fetch 4 bytes
         prev = o
-    _ = np.asarray(prev[0][:1])
+    _ = np.asarray(prev[:1])
     times["full_packed"] = 1e3 * (time.perf_counter() - t0) / args.iters
     print(f"[glue] full_packed: {times['full_packed']:.1f} ms/batch",
           file=sys.stderr)
