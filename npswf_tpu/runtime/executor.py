@@ -323,8 +323,18 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 flat = _flat(out)
         return lo, hi, d, d_pad, dev_batch, flat
 
+    last_done = [None]
+
     def write_part(lo, hi, n_valid, d_pad, pkt_host, out):
         nonlocal done_events
+        # inter-batch completion gap: its MEDIAN is the steady-state
+        # batch period with rare link stalls excluded (tunneled devices
+        # suffer multi-second stall lotteries that dominate totals while
+        # the typical batch is ~100x faster — PERF.md end-to-end section)
+        t_now = time.perf_counter()
+        if last_done[0] is not None:
+            timers.record("interbatch", t_now - last_done[0])
+        last_done[0] = t_now
         with timers.stage("write"):
             w = WFWriter(cfg)
             if pkt_host is None:

@@ -136,9 +136,18 @@ def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
     wall = time.perf_counter() - t0
     e2e_bps = n_events * cfg.nblocks / wall
     frac = e2e_bps / dev_bps
+    # steady-state figure: the MEDIAN inter-batch completion gap — the
+    # tunneled link's multi-second stall lottery (rare, random, up to
+    # ~50 s; PERF.md) dominates wall totals while the typical batch is
+    # ~100x faster; the median batch period is the pipeline's number
+    med_gap = timers.median("interbatch")
+    med_bps = (batch_size * cfg.nblocks / med_gap) if med_gap > 0 else 0.0
+    med_frac = med_bps / dev_bps
     print(f"[{mode}] end-to-end: {wall:.1f}s for {n_events} events = "
           f"{res.events_per_sec:,.1f} ev/s, {e2e_bps:,.0f} blocks/s "
-          f"({frac:.0%} of device-only)", file=sys.stderr)
+          f"({frac:.0%} of device-only); steady-state (median batch "
+          f"period {med_gap * 1e3:.0f} ms): {med_bps:,.0f} blocks/s "
+          f"({med_frac:.0%} of device-only)", file=sys.stderr)
     print(f"[{mode}] stage breakdown (threaded stages overlap): "
           f"{timers.report()}", file=sys.stderr)
     size_mb = os.path.getsize(out_path) / 1e6
@@ -146,8 +155,10 @@ def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
           f"fail={res.n_fit_failure}", file=sys.stderr)
     return {"mode": mode, "events": n_events,
             "e2e_blocks_per_sec": round(e2e_bps, 1),
+            "e2e_steady_blocks_per_sec": round(med_bps, 1),
             "device_blocks_per_sec": round(dev_bps, 1),
             "e2e_frac_of_device": round(frac, 3),
+            "e2e_steady_frac_of_device": round(med_frac, 3),
             "wall_s": round(wall, 2),
             "stages": {k: round(v, 2) for k, v in timers.totals.items()}}
 

@@ -19,11 +19,18 @@ log = logging.getLogger("npswf")
 
 class StageTimer:
     """Cumulative named timers; safe to use from the executor's stage
-    worker threads (the += on the totals dict is guarded)."""
+    worker threads (mutation of the dicts is lock-guarded).
+
+    Every duration is also recorded, so ``report`` can show the median
+    and maximum per call next to the total — on a tunneled device a
+    handful of multi-second link stalls can dominate the totals while
+    the typical call is milliseconds, and the median is the number that
+    describes the pipeline (PERF.md, end-to-end section)."""
 
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self.samples: Dict[str, list] = defaultdict(list)
         self._lock = threading.Lock()
 
     @contextlib.contextmanager
@@ -36,11 +43,31 @@ class StageTimer:
             with self._lock:
                 self.totals[name] += dt
                 self.counts[name] += 1
+                self.samples[name].append(dt)
+
+    def record(self, name: str, dt: float) -> None:
+        """Record an externally measured duration under ``name``."""
+        with self._lock:
+            self.totals[name] += dt
+            self.counts[name] += 1
+            self.samples[name].append(dt)
+
+    def median(self, name: str) -> float:
+        with self._lock:
+            s = sorted(self.samples.get(name, ()))
+        return s[len(s) // 2] if s else 0.0
 
     def report(self) -> str:
-        lines = [f"  {name}: {self.totals[name]:.3f}s ({self.counts[name]} calls)"
-                 for name in sorted(self.totals)]
-        return "stage timers:\n" + "\n".join(lines) if lines else "stage timers: none"
+        lines = []
+        for name in sorted(self.totals):
+            s = sorted(self.samples[name])
+            med, mx = s[len(s) // 2], s[-1]
+            lines.append(
+                f"  {name}: {self.totals[name]:.3f}s "
+                f"({self.counts[name]} calls, med {med * 1e3:.0f} ms, "
+                f"max {mx * 1e3:.0f} ms)")
+        return ("stage timers:\n" + "\n".join(lines)
+                if lines else "stage timers: none")
 
 
 @contextlib.contextmanager
