@@ -11,6 +11,10 @@ Subcommands:
     synth           generate a synthetic raw segment + calibration (testing)
     validate        plotstats-equivalent output-integrity check
     diagnostics     per-event fitted-waveform plots (ref C15, TEST_2.C:1134-1285)
+
+plus pass-through wrappers for the analysis/maintenance tools (forward
+their flags after ``--``): convert-root, convert-wf-root, solver-audit,
+e2e-bench, glue-profile, cpu-baseline, derive-fixtures.
 """
 from __future__ import annotations
 
@@ -151,6 +155,48 @@ def cmd_diagnostics(args) -> int:
     return 0
 
 
+# Tools with their own argparse mains, surfaced as pass-through subcommands
+# (``npswf <name> -- --their-flags``). Each value is (module, help).
+_DELEGATED = {
+    "convert-root": ("npswf_tpu.tools.convert_root",
+                     "ROOT raw file -> segment .npz bridge (needs uproot)"),
+    "convert-wf-root": ("npswf_tpu.tools.convert_wf_to_root",
+                        "WF .npz -> ROOT WF-tree bridge (needs uproot; "
+                        "ref TEST_2.C:1383-1432 output format)"),
+    "solver-audit": ("npswf_tpu.tools.solver_audit",
+                     "classify LM fit failures vs an independent scipy-TRF "
+                     "solve on adversarial ensembles"),
+    "e2e-bench": ("npswf_tpu.tools.e2e_bench",
+                  "host-I/O-inclusive run_segment benchmark "
+                  "(decode/upload/dispatch/fetch/write stage medians)"),
+    "glue-profile": ("npswf_tpu.tools.glue_profile",
+                     "trace-time stage ablation of one pipeline batch"),
+    "cpu-baseline": ("npswf_tpu.tools.cpu_baseline",
+                     "measured single-thread CPU reference denominator "
+                     "(golden search + scipy TRF per block)"),
+    "derive-fixtures": ("npswf_tpu.tools.derive_fixtures",
+                        "re-derive the Decimal SearchHighRes fixture file"),
+}
+
+
+def _make_delegate(module_name: str):
+    def _run(args) -> int:
+        import importlib
+        mod = importlib.import_module(module_name)
+        rest = list(args.tool_args)
+        if rest and rest[0] == "--":
+            rest = rest[1:]
+        try:
+            return int(mod.main(rest) or 0)
+        except TypeError:
+            # cpu_baseline-style zero-arg main
+            if rest:
+                print(f"ERROR: {module_name} takes no arguments", file=sys.stderr)
+                return 2
+            return int(mod.main() or 0)
+    return _run
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="npswf", description=__doc__)
     ap.add_argument("-v", "--verbose", action="store_true")
@@ -228,6 +274,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--x64", action="store_true")
     p.set_defaults(fn=cmd_diagnostics)
+
+    for name, (module, help_text) in _DELEGATED.items():
+        p = sub.add_parser(name, help=help_text)
+        p.add_argument("tool_args", nargs=argparse.REMAINDER,
+                       help="arguments forwarded to the tool "
+                            "(see `npswf %s -- --help`)" % name)
+        p.set_defaults(fn=_make_delegate(module))
     return ap
 
 

@@ -105,6 +105,21 @@ def test_cli_subprocess_end_to_end(tmp_path):
     assert "index OK" in r3.stdout
 
 
+def test_cli_delegated_subcommands(tmp_path):
+    """Pass-through tool wrappers forward argv after `--` to the tool's main."""
+    from npswf_tpu.tools.cli import build_parser, _DELEGATED
+    ap = build_parser()
+    # every delegated tool is registered and parses
+    for name in _DELEGATED:
+        args = ap.parse_args([name, "--", "--help"])
+        assert args.tool_args[-1] == "--help"
+    # end-to-end through one cheap tool: derive-fixtures --check verifies
+    # the committed fixture file against the Decimal oracle
+    args = ap.parse_args(["derive-fixtures", "--", "--check"])
+    rc = args.fn(args)
+    assert rc == 0
+
+
 def test_diagnostics_plots(cfg, synth_paths, tmp_path):
     from npswf_tpu.core.calibration import CalibrationBundle
     from npswf_tpu.tools.diagnostics import make_event_plots
