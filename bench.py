@@ -206,5 +206,35 @@ def main_with_retry() -> int:
         return main()
 
 
+def main_with_watchdog() -> int:
+    """Run the benchmark in a child process with a hang watchdog.
+
+    The tunneled TPU backend can stall indefinitely (even jax.devices()
+    has been observed to hang for minutes when the tunnel drops); an
+    in-process retry cannot recover from that. The child inherits
+    stdout/stderr, so the one-JSON-line contract is unchanged. On a hang
+    (no exit within the per-attempt budget) the child is killed and one
+    fresh attempt is made.
+    """
+    import os
+    import subprocess
+    budget_s = float(os.environ.get("NPSWF_BENCH_TIMEOUT_S", "1500"))
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
+    for attempt in (1, 2):
+        try:
+            return subprocess.run(cmd, timeout=budget_s).returncode
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt} hung >{budget_s:.0f}s "
+                  "(tunnel stall); " +
+                  ("retrying once in a fresh process" if attempt == 1
+                   else "giving up"), file=sys.stderr)
+            if attempt == 2:
+                return 1
+            time.sleep(30.0)
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main_with_retry())
+    if "--inner" in sys.argv:
+        sys.exit(main_with_retry())
+    sys.exit(main_with_watchdog())

@@ -49,6 +49,36 @@ def test_run_segment_end_to_end(cfg, synth_paths, tmp_path):
     assert wf["fit_counters"][0] == res.n_fit_success
 
 
+def test_run_segment_mesh_matches_unsharded(cfg, synth_paths, tmp_path):
+    """The user-facing multi-chip path (CLI --devices/--block-shards ->
+    run_segment(mesh=...)) produces the same WF file as the unsharded run."""
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from npswf_tpu.core.calibration import CalibrationBundle
+    from npswf_tpu.parallel.mesh import make_mesh
+    seg_path, cal_path = synth_paths
+    cal = CalibrationBundle.load(cal_path)
+    seg = read_segment(seg_path)
+    out_ref = str(tmp_path / "wf_1dev.npz")
+    out_mesh = str(tmp_path / "wf_mesh.npz")
+    res_ref = run_segment(cfg, cal, seg, out_ref, batch_size=4)
+    mesh = make_mesh(cfg, n_data=2, n_block=2)
+    res_mesh = run_segment(cfg, cal, seg, out_mesh, batch_size=4, mesh=mesh)
+    assert res_mesh.n_events == res_ref.n_events == 13
+    assert res_mesh.n_fit_success == res_ref.n_fit_success
+    assert res_mesh.n_fit_failure == res_ref.n_fit_failure
+    a, b = read_wf(out_ref), read_wf(out_mesh)
+    for col in ("evt", "runnum", "wfnpulse", "wf_offsets", "wfampl_flat",
+                "wftime_flat", "chi2"):
+        np.testing.assert_array_equal(a[col], b[col], err_msg=col)
+    # event-level sums cross the block shards (psum of partials): the
+    # reduction order differs, so allow float32 last-ulp wiggle
+    for col in ("enertot", "integtot"):
+        np.testing.assert_allclose(a[col], b[col], rtol=1e-6, err_msg=col)
+    assert validate(b) == 0
+
+
 def test_resume_after_crash(cfg, synth_paths, tmp_path, monkeypatch):
     from npswf_tpu.core.calibration import CalibrationBundle
     seg_path, cal_path = synth_paths
