@@ -176,6 +176,9 @@ _DELEGATED = {
                      "(golden search + scipy TRF per block)"),
     "derive-fixtures": ("npswf_tpu.tools.derive_fixtures",
                         "re-derive the Decimal SearchHighRes fixture file"),
+    "extract-templates": ("npswf_tpu.tools.extract_templates",
+                          "build per-block reference-waveform calibration "
+                          "from clean single-pulse events in a raw segment"),
 }
 
 
