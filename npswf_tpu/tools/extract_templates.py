@@ -274,10 +274,37 @@ def extract_templates(cfg: NPSConfig, seg, *,
         cfg, signal, pres[:, :cfg.nblocks], base=base, **kwargs)
 
 
+def compare_bundles(a: CalibrationBundle, b: CalibrationBundle):
+    """Per-block template drift between two calibration bundles.
+
+    Returns (delta [B] phase shift in bins, dev [B] max aligned shape
+    deviation in peak units); NaN where either block is absent. Use to
+    monitor template evolution between calibration epochs (the reference's
+    epoch path-ladder at TEST_2.C:377-416 encodes such epochs by hand).
+    """
+    B = a.nblocks
+    t = np.arange(a.interp_y.shape[1], dtype=np.float64)
+    delta = np.full(B, np.nan)
+    dev = np.full(B, np.nan)
+    both = a.preswf & b.preswf
+    for blk in np.nonzero(both)[0]:
+        d = estimate_template_shift(a.interp_y[blk], b.interp_y[blk])
+        aligned = np.interp(t + d, t, a.interp_y[blk])
+        delta[blk] = d
+        dev[blk] = float(np.max(np.abs(aligned - b.interp_y[blk])))
+    return delta, dev
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("input", help="raw segment .npz")
-    ap.add_argument("out", help="output calibration bundle .npz")
+    ap.add_argument("input", help="raw segment .npz (or, with --compare, "
+                                  "the OLD calibration bundle .npz)")
+    ap.add_argument("out", help="output calibration bundle .npz (or, with "
+                                "--compare, the NEW bundle to compare)")
+    ap.add_argument("--compare", action="store_true",
+                    help="drift-monitoring mode: report per-block template "
+                         "phase shift and aligned shape deviation between "
+                         "two bundles instead of extracting")
     ap.add_argument("--run", type=int, default=3000)
     ap.add_argument("--calib", default=None,
                     help="base bundle .npz: supplies tdc/cortime/geometry and "
@@ -288,6 +315,26 @@ def main(argv=None) -> int:
     ap.add_argument("--max-events", type=int, default=None)
     ap.add_argument("--no-native", action="store_true")
     args = ap.parse_args(argv)
+
+    if args.compare:
+        a = CalibrationBundle.load(args.input)
+        b = CalibrationBundle.load(args.out)
+        delta, dev = compare_bundles(a, b)
+        ok = np.isfinite(delta)
+        if not ok.any():
+            print("no blocks present in both bundles")
+            return 1
+        print(f"template drift over {int(ok.sum())} common blocks: "
+              f"phase |median| {np.nanmedian(np.abs(delta)):.3f} bins, "
+              f"max {np.nanmax(np.abs(delta)):.3f}; "
+              f"shape dev median {np.nanmedian(dev):.4f}, "
+              f"max {np.nanmax(dev):.4f} (peak units)")
+        worst = np.argsort(np.nan_to_num(dev, nan=-1.0))[-5:][::-1]
+        for blk in worst:
+            if np.isfinite(dev[blk]):
+                print(f"  block {blk}: shift {delta[blk]:+.3f} bins, "
+                      f"dev {dev[blk]:.4f}")
+        return 0
 
     from npswf_tpu.core.config import config_for_run
     from npswf_tpu.io.rawstream import read_segment

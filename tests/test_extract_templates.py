@@ -171,3 +171,13 @@ def test_cli_roundtrip(small_cfg, small_cal, tmp_path, monkeypatch):
     from npswf_tpu.core.calibration import CalibrationBundle
     loaded = CalibrationBundle.load(out)
     assert loaded.preswf.sum() == cfg.nblocks
+
+    # drift-monitoring mode: extracted vs true bundle — small phase shift,
+    # small aligned shape deviation
+    cal_path = str(tmp_path / "cal_true.npz")
+    cal.save(cal_path)
+    rc = mod.main([cal_path, out, "--compare"])
+    assert rc == 0
+    delta, dev = mod.compare_bundles(cal, loaded)
+    assert np.nanmax(np.abs(delta)) < 1.5
+    assert np.nanmax(dev) < 0.04
