@@ -142,6 +142,49 @@ class GaussianPulseModel(WaveformModel):
         return f, J
 
 
+class BiexpPulseModel(WaveformModel):
+    """PMT-style pulse family: normalized difference of two exponentials.
+
+    s(v) = N * (exp(-v/tau_d) - exp(-v/tau_r)) for v > 0, else 0, with
+    v measured from the pulse ONSET; the parameterization is peak-aligned
+    (t_n is the pulse PEAK time, like the gaussian family's center), and
+    N normalizes the peak to 1 so amplitudes keep their meaning across
+    families. ``aux['tau_r']``/``aux['tau_d']`` [N] are the rise/decay
+    constants in bins (tau_d > tau_r)."""
+
+    name = "biexp"
+
+    def eval_and_jac(self, cfg, params, aux, xgrid, pulse_mask):
+        N, M = params.shape
+        K = xgrid.shape[0]
+        tr = aux["tau_r"][:, None, None]                # [N,1,1]
+        td = aux["tau_d"][:, None, None]
+        center = aux.get("timeref")
+        c = 0.0 if center is None else center[:, None, None]
+        ped = params[:, 0]
+        tpar = params[:, 1::2][:, :, None] + c          # [N,P,1] absolute peak
+        apar = params[:, 2::2][:, :, None]
+        act = pulse_mask[:, :, None].astype(params.dtype)
+        # peak sits ustar after onset; normalize the peak value to 1
+        ustar = jnp.log(td / tr) * tr * td / (td - tr)
+        norm = 1.0 / (jnp.exp(-ustar / td) - jnp.exp(-ustar / tr))
+        v = xgrid[None, None, :] - tpar + ustar         # time since onset
+        pos = v > 0
+        vs = jnp.where(pos, v, 0.0)                     # exp-safe gating
+        ed = jnp.exp(-vs / td)
+        er = jnp.exp(-vs / tr)
+        val = jnp.where(pos, norm * (ed - er), 0.0)
+        dvdv = jnp.where(pos, norm * (er / tr - ed / td), 0.0)  # d val / dv
+        f = ped[:, None] + jnp.sum(act * apar * val, axis=1)
+        # v = x - t + ustar, so d f/d t = -A * dval/dv
+        Jt = (-act * apar * dvdv).transpose(0, 2, 1)
+        Ja = (act * val).transpose(0, 2, 1)
+        inter = jnp.stack([Jt, Ja], axis=-1).reshape(N, K, 2 * (M - 1) // 2)
+        J = jnp.concatenate(
+            [jnp.ones((N, K, 1), params.dtype), inter], axis=-1)
+        return f, J
+
+
 _REGISTRY: Dict[str, WaveformModel] = {}
 
 
@@ -157,3 +200,4 @@ def get_model(name: str) -> WaveformModel:
 register_model(SplineRefModel())
 register_model(PallasSplineRefModel())
 register_model(GaussianPulseModel())
+register_model(BiexpPulseModel())
