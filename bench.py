@@ -211,10 +211,12 @@ def main_with_watchdog() -> int:
 
     The tunneled TPU backend can stall indefinitely (even jax.devices()
     has been observed to hang for minutes when the tunnel drops); an
-    in-process retry cannot recover from that. The child inherits
-    stdout/stderr, so the one-JSON-line contract is unchanged. On a hang
-    (no exit within the per-attempt budget) the child is killed and one
-    fresh attempt is made.
+    in-process retry cannot recover from that. The child's stdout is
+    captured and forwarded only when it exits — a killed attempt that
+    already printed its JSON line (e.g. hung in backend teardown) cannot
+    leak a second line onto stdout, preserving the one-JSON-line
+    contract. stderr streams through. On a hang (no exit within the
+    per-attempt budget) the child is killed and one fresh attempt made.
     """
     import os
     import subprocess
@@ -222,8 +224,15 @@ def main_with_watchdog() -> int:
     cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
     for attempt in (1, 2):
         try:
-            return subprocess.run(cmd, timeout=budget_s).returncode
-        except subprocess.TimeoutExpired:
+            res = subprocess.run(cmd, timeout=budget_s,
+                                 stdout=subprocess.PIPE)
+            sys.stdout.buffer.write(res.stdout)
+            sys.stdout.flush()
+            return res.returncode
+        except subprocess.TimeoutExpired as exc:
+            if exc.stdout:
+                print(f"discarded output of killed attempt: {exc.stdout!r}",
+                      file=sys.stderr)
             print(f"bench attempt {attempt} hung >{budget_s:.0f}s "
                   "(tunnel stall); " +
                   ("retrying once in a fresh process" if attempt == 1

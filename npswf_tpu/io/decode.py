@@ -121,19 +121,33 @@ def hms_corrections(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     return corr, sampampl, samptime, sampener, sampped, npulse
 
 
+def decode_raw(cfg: NPSConfig, seg: RawSegment, lo: int = 0,
+               hi: Optional[int] = None, use_native: bool = True,
+               n_threads: int = 0):
+    """Raw-stream decode only (no calibration-dependent HMS stage).
+
+    Returns (signal [E,B,T] f32, pres [E,nslots] u8, minsignal [E,B] f32,
+    bad_slot [E] i32). Used by decode_segment and by calibration-free
+    consumers (e.g. tools/extract_templates.py, which runs before any
+    CalibrationBundle exists)."""
+    hi = seg.n_events if hi is None else hi
+    lib = native.load() if use_native else None
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    if lib is not None:
+        return _decode_native(cfg, seg, lo, hi, lib, n_threads)
+    return _decode_numpy(cfg, seg, lo, hi)
+
+
 def decode_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                    lo: int = 0, hi: Optional[int] = None,
                    use_native: bool = True,
                    n_threads: int = 0) -> DecodedBatch:
     """Decode events [lo, hi) of a segment into a dense batch."""
     hi = seg.n_events if hi is None else hi
-    lib = native.load() if use_native else None
-    if n_threads <= 0:
-        n_threads = min(os.cpu_count() or 1, 16)
-    if lib is not None:
-        signal, pres, minsig, bad = _decode_native(cfg, seg, lo, hi, lib, n_threads)
-    else:
-        signal, pres, minsig, bad = _decode_numpy(cfg, seg, lo, hi)
+    signal, pres, minsig, bad = decode_raw(cfg, seg, lo, hi,
+                                           use_native=use_native,
+                                           n_threads=n_threads)
     corr, sampampl, samptime, sampener, sampped, hn = hms_corrections(
         cfg, cal, seg, lo, hi)
     return DecodedBatch(signal=signal, pres=pres, minsignal=minsig, bad_slot=bad,

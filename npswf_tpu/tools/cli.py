@@ -14,7 +14,8 @@ Subcommands:
 
 plus pass-through wrappers for the analysis/maintenance tools (forward
 their flags after ``--``): convert-root, convert-wf-root, solver-audit,
-e2e-bench, glue-profile, cpu-baseline, derive-fixtures.
+e2e-bench, glue-profile, cpu-baseline, derive-fixtures,
+extract-templates.
 """
 from __future__ import annotations
 
@@ -185,18 +186,20 @@ _DELEGATED = {
 def _make_delegate(module_name: str):
     def _run(args) -> int:
         import importlib
+        import inspect
         mod = importlib.import_module(module_name)
         rest = list(args.tool_args)
         if rest and rest[0] == "--":
             rest = rest[1:]
-        try:
+        # dispatch on the tool's signature (cpu_baseline has a zero-arg
+        # main) — never on a caught TypeError, which would misclassify
+        # TypeErrors raised inside the tool and re-run it
+        if inspect.signature(mod.main).parameters:
             return int(mod.main(rest) or 0)
-        except TypeError:
-            # cpu_baseline-style zero-arg main
-            if rest:
-                print(f"ERROR: {module_name} takes no arguments", file=sys.stderr)
-                return 2
-            return int(mod.main() or 0)
+        if rest:
+            print(f"ERROR: {module_name} takes no arguments", file=sys.stderr)
+            return 2
+        return int(mod.main() or 0)
     return _run
 
 

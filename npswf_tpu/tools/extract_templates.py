@@ -47,7 +47,8 @@ from npswf_tpu.core.config import NPSConfig
 @dataclass
 class ExtractionStats:
     n_events: int = 0
-    candidates_per_block: np.ndarray = field(default=None)  # [B] i64
+    candidates_per_block: np.ndarray = field(default=None)  # [B] i64, pre-cut
+    survivors_per_block: np.ndarray = field(default=None)   # [B] i64, post-cut
     n_extracted: int = 0          # blocks with a data-derived template
     n_from_base: int = 0          # blocks falling back to the base bundle
     n_absent: int = 0             # blocks left preswf=False
@@ -74,7 +75,7 @@ def _parabolic_peak(y: np.ndarray, imax: np.ndarray):
 
 def extract_templates_from_arrays(
         cfg: NPSConfig, signal: np.ndarray, pres: np.ndarray, *,
-        base: Optional[CalibrationBundle] = None,
+        base: Optional[CalibrationBundle] = None, run: Optional[int] = None,
         amp_min: float = 20.0, isolation: float = 0.15,
         isolation_halfwidth: int = 20, resid_max: float = 0.15,
         min_candidates: int = 6, edge_margin: int = 8):
@@ -114,7 +115,9 @@ def extract_templates_from_arrays(
             & (pre_max < isolation * amax))
 
     eidx, bidx = np.nonzero(cand)
-    stats = ExtractionStats(n_events=E)
+    stats = ExtractionStats(
+        n_events=E,
+        candidates_per_block=np.bincount(bidx, minlength=B).astype(np.int64))
 
     interp_x = np.tile(np.arange(T, dtype=np.float64), (B, 1))
     interp_y = np.zeros((B, T))
@@ -164,18 +167,24 @@ def extract_templates_from_arrays(
             counts[b] = int(keep.sum())
             preswf[b] = True
 
-        # template hygiene: remove the residual baseline (mean of the
-        # early samples, which carry no pulse) and renormalize to unit peak
+        # template hygiene: remove the residual baseline and renormalize
+        # to unit peak. The baseline window must end BEFORE the pulse rise
+        # (peak - isolation_halfwidth); for early-peaking blocks the window
+        # shrinks, and below 4 samples the subtraction is skipped rather
+        # than bias the template with rise samples.
+        for b in np.nonzero(preswf)[0]:
+            pk_bin = int(np.argmax(interp_y[b]))
+            n_base = min(cfg.ped_nsamples, pk_bin - isolation_halfwidth)
+            if n_base >= 4:
+                interp_y[b] -= interp_y[b, :n_base].mean()
+            pk = interp_y[b].max()
+            if pk > 0:
+                interp_y[b] /= pk
         if preswf.any():
-            ok = preswf
-            base_off = interp_y[ok][:, :cfg.ped_nsamples].mean(axis=1)
-            interp_y[ok] -= base_off[:, None]
-            pk = interp_y[ok].max(axis=1)
-            interp_y[ok] /= np.where(pk > 0, pk, 1.0)[:, None]
             stats.mean_peak_pos = float(
-                np.mean(np.argmax(interp_y[ok], axis=1)))
+                np.mean(np.argmax(interp_y[preswf], axis=1)))
 
-    stats.candidates_per_block = counts
+    stats.survivors_per_block = counts
     stats.n_extracted = int(preswf.sum())
 
     # fallback for data-starved blocks
@@ -187,7 +196,10 @@ def extract_templates_from_arrays(
         stats.n_from_base = int(weak.sum())
     stats.n_absent = int((~preswf).sum())
 
-    timeref = np.zeros(B)
+    # absent blocks keep the loader's -1e6 timeref sentinel so the cluster
+    # gate's coincidence window (center = timeref + timerefacc) stays empty
+    # for them, as with a file-based calibration (core/calibration.py:273)
+    timeref = np.full(B, -1.0e6)
     mfkern_rev = np.zeros((B, cfg.mfwidth))
     mfint = np.ones(B)
     spline_coeffs = np.zeros((B, T - 1, 4))
@@ -212,7 +224,8 @@ def extract_templates_from_arrays(
         timemean2=(base.timemean2.copy() if base is not None
                    else np.full(B, cfg.timemean_base + timerefacc * cfg.dt)),
         spline_coeffs=spline_coeffs, spline_x0=spline_x0,
-        run=base.run if base is not None else 0)
+        run=(run if run is not None
+             else (base.run if base is not None else 0)))
     return bundle, stats
 
 
@@ -257,21 +270,15 @@ def _groups(sorted_ids: np.ndarray):
 
 def extract_templates(cfg: NPSConfig, seg, *,
                       base: Optional[CalibrationBundle] = None,
+                      run: Optional[int] = None,
                       use_native: bool = True, max_events: Optional[int] = None,
                       **kwargs):
     """Decode a RawSegment (raw streams only; HMS not needed) and extract."""
-    from npswf_tpu.io import native
-    from npswf_tpu.io.decode import _decode_native, _decode_numpy
+    from npswf_tpu.io.decode import decode_raw
     hi = seg.n_events if max_events is None else min(max_events, seg.n_events)
-    lib = native.load() if use_native else None
-    if lib is not None:
-        import os
-        signal, pres, _, _ = _decode_native(
-            cfg, seg, 0, hi, lib, min(os.cpu_count() or 1, 16))
-    else:
-        signal, pres, _, _ = _decode_numpy(cfg, seg, 0, hi)
+    signal, pres, _, _ = decode_raw(cfg, seg, 0, hi, use_native=use_native)
     return extract_templates_from_arrays(
-        cfg, signal, pres[:, :cfg.nblocks], base=base, **kwargs)
+        cfg, signal, pres[:, :cfg.nblocks], base=base, run=run, **kwargs)
 
 
 def compare_bundles(a: CalibrationBundle, b: CalibrationBundle):
@@ -310,7 +317,7 @@ def main(argv=None) -> int:
                     help="base bundle .npz: supplies tdc/cortime/geometry and "
                          "the fallback template for data-starved blocks")
     ap.add_argument("--amp-min", type=float, default=20.0)
-    ap.add_argument("--isolation", type=float, default=0.12)
+    ap.add_argument("--isolation", type=float, default=0.15)
     ap.add_argument("--min-candidates", type=int, default=6)
     ap.add_argument("--max-events", type=int, default=None)
     ap.add_argument("--no-native", action="store_true")
@@ -342,7 +349,7 @@ def main(argv=None) -> int:
     base = CalibrationBundle.load(args.calib) if args.calib else None
     seg = read_segment(args.input)
     bundle, st = extract_templates(
-        cfg, seg, base=base, use_native=not args.no_native,
+        cfg, seg, base=base, run=args.run, use_native=not args.no_native,
         max_events=args.max_events, amp_min=args.amp_min,
         isolation=args.isolation, min_candidates=args.min_candidates)
     bundle.save(args.out)

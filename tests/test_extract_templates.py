@@ -111,9 +111,14 @@ def test_starved_blocks_fall_back_or_absent(small_cfg, small_cal):
     pres = truth.pres.astype(bool).copy()
     pres[:, -2:] = False
     # no base: starved blocks are absent
-    b1, s1 = extract_templates_from_arrays(cfg, sig, pres, min_candidates=6)
+    b1, s1 = extract_templates_from_arrays(cfg, sig, pres, min_candidates=6,
+                                           run=3032)
     assert not b1.preswf[-2:].any()
     assert s1.n_absent == 2
+    # absent blocks keep the loader's -1e6 timeref sentinel (empty cluster
+    # coincidence window), and the requested run is recorded
+    assert (b1.timeref[-2:] == -1.0e6).all()
+    assert b1.run == 3032
     # with base: starved blocks keep the base template and its metadata
     b2, s2 = extract_templates_from_arrays(cfg, sig, pres, base=cal,
                                            min_candidates=6)
