@@ -13,7 +13,7 @@ users: it builds a :class:`CalibrationBundle` directly from a raw segment by
 2. locating each candidate's peak at sub-bin precision (parabolic
    interpolation through the three samples around the maximum), aligning
    all candidates of a block to the block's median peak position with
-   linear resampling, and normalizing each to unit peak,
+   Catmull-Rom cubic resampling, and normalizing each to unit peak,
 3. forming a per-sample MEDIAN template (robust: pileup at random offsets
    contaminates each sample in a minority of candidates), rejecting
    candidates whose max residual against it exceeds ``resid_max``, and
