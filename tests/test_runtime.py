@@ -135,6 +135,45 @@ def test_cli_subprocess_end_to_end(tmp_path):
     assert "index OK" in r3.stdout
 
 
+def test_validate_root_input(monkeypatch):
+    """plotstats accepts a ROOT WF tree (the reference validator's input),
+    via a stubbed uproot like the converter tests."""
+    import types
+    from npswf_tpu.tools.plotstats import main as ps_main
+
+    class FakeBranch:
+        def __init__(self, d):
+            self.d = d
+
+        def array(self, library="np"):
+            return self.d
+
+    class FakeTree(dict):
+        def __getitem__(self, k):
+            return FakeBranch(dict.__getitem__(self, k))
+
+    class FakeFile:
+        def __init__(self, t):
+            self.t = t
+
+        def __getitem__(self, k):
+            assert k == "WF"
+            return self.t
+
+        def close(self):
+            pass
+
+    runnum = np.full(3, 3000.0)
+    stub = types.ModuleType("uproot")
+    stub.open = lambda p: FakeFile(FakeTree(evt=np.array([3.0, 1.0, 2.0]),
+                                            runnum=runnum))
+    monkeypatch.setitem(sys.modules, "uproot", stub)
+    assert ps_main(["shuffled_but_contiguous.root"]) == 0
+    stub.open = lambda p: FakeFile(FakeTree(evt=np.array([1.0, 2.0, 4.0]),
+                                            runnum=runnum))
+    assert ps_main(["gap.root"]) == 1
+
+
 def test_cli_delegated_subcommands(tmp_path):
     """Pass-through tool wrappers forward argv after `--` to the tool's main."""
     from npswf_tpu.tools.cli import build_parser, _DELEGATED
