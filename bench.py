@@ -32,8 +32,20 @@ ESTIMATE_BLOCKS_PER_SEC = 1200.0  # round-1 documented estimate (continuity)
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache (same dir as tests/conftest.py): a retry
+    # attempt in a fresh process skips the ~26 s pipeline compile, so the
+    # watchdog budget pays for measurement, not recompilation. Round 2's
+    # driver bench burned its whole budget partly on this (BENCH_r02.json).
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from npswf_tpu.core.calibration import synthetic_calibration
     from npswf_tpu.core.config import NPSConfig
@@ -145,25 +157,31 @@ def main() -> int:
           "comparable in spirit.", file=sys.stderr)
 
     # --- measured baseline denominator (tools/cpu_baseline.py) ----------
-    # Single-thread reference-algorithm run on a sample of the same dense
-    # batch; x4 threads; search charged as FREE (conservative — the golden
+    # Single-thread reference-algorithm run over >=3 independent noise
+    # seeds; x4 threads; search charged as FREE (conservative — the golden
     # search is a Python oracle, compiled TSpectrum would be faster, so the
-    # fit-only figure is the harder denominator).
-    from npswf_tpu.tools.cpu_baseline import measure_cpu_baseline
-    cb = measure_cpu_baseline(
-        cfg, cal, truth.signal, np.asarray(cal.timeref, dtype=np.float64),
-        time_budget_s=5.0, min_blocks=48)
-    base_fit_only = 4.0 * 1e3 / max(cb["fit_ms_per_block"], 1e-9)
-    # denominator: the HARDEST of (measured fit-only, measured total, the
-    # round-1 estimate) — measurement validated the estimate (it is HIGHER
-    # than both measured figures on this host), so keeping it in the max is
-    # purely conservative and stable across bench hosts
-    baseline = max(base_fit_only, cb["blocks_per_sec_4thread"],
+    # fit-only figure is the harder denominator). The seed spread gives the
+    # denominator an error bar; the denominator takes the max over seeds.
+    from npswf_tpu.tools.cpu_baseline import measure_cpu_baseline_spread
+    cbs = measure_cpu_baseline_spread(cfg, cal, time_budget_s=4.0,
+                                      min_blocks=48)
+    fit_ms = cbs["fit_ms_per_block"]
+    base_fit_only = 4.0 * 1e3 / max(fit_ms["min"], 1e-9)  # fastest seed
+    # denominator: the HARDEST of (measured fit-only max-over-seeds,
+    # measured total max-over-seeds, the round-1 estimate) — measurement
+    # validated the estimate (it is HIGHER than the measured figures on
+    # this host), so keeping it in the max is purely conservative and
+    # stable across bench hosts
+    baseline = max(base_fit_only, cbs["blocks_per_sec_4thread"]["max"],
                    ESTIMATE_BLOCKS_PER_SEC)
-    print(f"measured CPU baseline ({cb['n_blocks']} blocks sampled): "
-          f"search {cb['search_ms_per_block']:.2f} ms/blk (python oracle), "
-          f"fit {cb['fit_ms_per_block']:.2f} ms/blk (scipy TRF); "
-          f"4-thread total {cb['blocks_per_sec_4thread']:.0f} blocks/s, "
+    sm = cbs["search_ms_per_block"]
+    tm = cbs["blocks_per_sec_4thread"]
+    print(f"measured CPU baseline ({len(cbs['seeds'])} seeds): "
+          f"search {sm['min']:.2f}/{sm['median']:.2f}/{sm['max']:.2f} "
+          "ms/blk min/median/max (python oracle), "
+          f"fit {fit_ms['min']:.2f}/{fit_ms['median']:.2f}/"
+          f"{fit_ms['max']:.2f} ms/blk (scipy TRF); 4-thread total "
+          f"{tm['min']:.0f}/{tm['median']:.0f}/{tm['max']:.0f} blocks/s, "
           f"fit-only (denominator) {base_fit_only:.0f} blocks/s "
           f"(round-1 estimate was {ESTIMATE_BLOCKS_PER_SEC:.0f})",
           file=sys.stderr)
@@ -206,25 +224,74 @@ def main_with_retry() -> int:
         return main()
 
 
+def _preflight_device_probe(budget_s: float) -> bool:
+    """Probe the device backend in a throwaway child process.
+
+    When the tunnel is fully down, a fresh interpreter blocks FOREVER at
+    its first device op (even ``jax.devices()``), so a dead tunnel must be
+    detected by a killable child, never in-process. A probe costs ~5 s on
+    a healthy tunnel; a failed probe costs ``budget_s`` instead of a full
+    bench attempt's budget."""
+    import subprocess
+    code = "import jax; print(jax.devices()[0])"
+    try:
+        res = subprocess.run([sys.executable, "-c", code], timeout=budget_s,
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL)
+        ok = res.returncode == 0
+        if ok:
+            print(f"preflight: device {res.stdout.decode().strip()}",
+                  file=sys.stderr)
+        return ok
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main_with_watchdog() -> int:
     """Run the benchmark in a child process with a hang watchdog.
 
     The tunneled TPU backend can stall indefinitely (even jax.devices()
     has been observed to hang for minutes when the tunnel drops); an
-    in-process retry cannot recover from that. The child's stdout is
-    captured and forwarded only when it exits — a killed attempt that
-    already printed its JSON line (e.g. hung in backend teardown) cannot
-    leak a second line onto stdout, preserving the one-JSON-line
-    contract. stderr streams through. On a hang (no exit within the
-    per-attempt budget) the child is killed and one fresh attempt made.
+    in-process retry cannot recover from that. Budget arithmetic (round-2
+    lesson — BENCH_r02.json burned 25 min on one sick attempt):
+
+    - every attempt is preceded by a ~60 s ``jax.devices()`` probe in a
+      throwaway child, so a DEAD tunnel costs ~90 s per attempt, not the
+      full attempt budget;
+    - per-attempt watchdog defaults to 420 s (``NPSWF_BENCH_TIMEOUT_S``),
+      retries skip the ~26 s compile via the persistent compilation cache;
+    - an overall deadline (``NPSWF_BENCH_TOTAL_S``, default 900 s) caps the
+      worst-case wall at ~15 min no matter how many attempts stall.
+
+    The child's stdout is captured and forwarded only when it exits — a
+    killed attempt that already printed its JSON line (e.g. hung in
+    backend teardown) cannot leak a second line onto stdout, preserving
+    the one-JSON-line contract. stderr streams through.
     """
     import os
     import subprocess
-    budget_s = float(os.environ.get("NPSWF_BENCH_TIMEOUT_S", "1500"))
+    budget_s = float(os.environ.get("NPSWF_BENCH_TIMEOUT_S", "420"))
+    total_s = float(os.environ.get("NPSWF_BENCH_TOTAL_S", "900"))
+    attempts = int(os.environ.get("NPSWF_BENCH_ATTEMPTS", "3"))
+    probe_s = float(os.environ.get("NPSWF_BENCH_PROBE_S", "60"))
+    deadline = time.monotonic() + total_s
     cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
-    for attempt in (1, 2):
+    for attempt in range(1, attempts + 1):
+        remaining = deadline - time.monotonic()
+        if remaining < probe_s + 30.0:
+            print(f"bench: overall deadline ({total_s:.0f}s) reached before "
+                  f"attempt {attempt}; giving up", file=sys.stderr)
+            return 1
+        if not _preflight_device_probe(min(probe_s, remaining)):
+            print(f"bench attempt {attempt}: device preflight probe failed "
+                  f"(tunnel down or stalled >{probe_s:.0f}s); "
+                  + ("retrying" if attempt < attempts else "giving up"),
+                  file=sys.stderr)
+            time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
+            continue
+        attempt_s = min(budget_s, deadline - time.monotonic())
         try:
-            res = subprocess.run(cmd, timeout=budget_s,
+            res = subprocess.run(cmd, timeout=attempt_s,
                                  stdout=subprocess.PIPE)
             sys.stdout.buffer.write(res.stdout)
             sys.stdout.flush()
@@ -233,13 +300,11 @@ def main_with_watchdog() -> int:
             if exc.stdout:
                 print(f"discarded output of killed attempt: {exc.stdout!r}",
                       file=sys.stderr)
-            print(f"bench attempt {attempt} hung >{budget_s:.0f}s "
+            print(f"bench attempt {attempt} hung >{attempt_s:.0f}s "
                   "(tunnel stall); " +
-                  ("retrying once in a fresh process" if attempt == 1
+                  ("retrying in a fresh process" if attempt < attempts
                    else "giving up"), file=sys.stderr)
-            if attempt == 2:
-                return 1
-            time.sleep(30.0)
+            time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
     return 1
 
 

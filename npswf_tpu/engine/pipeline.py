@@ -86,10 +86,14 @@ class PipelineOutput(NamedTuple):
                                  # ref TEST_2.C:209-213)
     n_search_dropped: jnp.ndarray  # [] i32 — present lanes beyond
                                    # search_capacity (no silent cap)
-    search_overflow: jnp.ndarray = None  # [E, B] bool — present lanes that
+    search_overflow: jnp.ndarray   # [E, B] bool — present lanes that
                                    # exceeded search_capacity (npulse forced
                                    # to 0): distinguishes them from genuinely
-                                   # empty blocks in the WF file
+                                   # empty blocks in the WF file. Required:
+                                   # mesh out_specs assume every field is an
+                                   # array (parallel/mesh.py), so a None here
+                                   # would surface as a confusing shard_map
+                                   # error far from the cause
 
 
 def _gather_lanes(arr, sel):

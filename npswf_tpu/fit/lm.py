@@ -416,9 +416,31 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
              jnp.zeros_like(it1)))
         return u2, chi2_2, conv2, it2
 
+    # Each retry stage rides under lax.cond(any(mask), ...) so a batch with
+    # nothing to retry pays NOTHING for the stage — not even the [N] argsort
+    # / pull-back trig / merge selects that used to run unconditionally
+    # (measured ~12 ms/batch for stage 3 on a clean dense batch even though
+    # its while_loop ran zero chunks). Same pattern as the pipeline's empty
+    # fit buckets (engine/pipeline.py). Skip-branch outputs are derived from
+    # the operands so shard_map varying-axes types agree across branches;
+    # they are never read (the merges mask on `mask & convN`, all-False on
+    # the skip path).
+    def _cond_retry(mask, start_u, lam0, denom):
+        def _run(args):
+            m, su = args
+            return _retry_pass(su, m, lam0, denom)
+
+        def _skip(args):
+            m, su = args
+            z = su[:, 0] * 0.0
+            return (jnp.zeros_like(su), z, m & (z > 1.0),
+                    z.astype(jnp.int32))
+
+        return jax.lax.cond(jnp.any(mask), _run, _skip, (mask, start_u))
+
     # stage 2: restart failed lanes from the seeds with a bigger budget
     # (Migrad strategy escalation, ref TEST_2.C:765-767)
-    u2, chi2_2, conv2, it2 = _retry_pass(u0, failed1,
+    u2, chi2_2, conv2, it2 = _cond_retry(failed1, u0,
                                          cfg.lm_lambda_init * 10.0, 16)
 
     # stage 3 (bound-escape): the sin transform sticks at active bounds —
@@ -433,16 +455,28 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     # rate ~5x (wrong-shape 12.4% -> 1.5%; SOLVER_AUDIT.md).
     if cfg.lm_stage3:
         failed2 = failed1 & ~conv2
-        sinu1 = jnp.sin(u1)
-        sat = jnp.abs(sinu1) > 0.95
-        u_pb = jnp.where(sat & pm, jnp.arcsin(0.8 * jnp.sign(sinu1)), u1)
-        u3, chi2_3, conv3, it3 = _retry_pass(u_pb, failed2,
-                                             cfg.lm_lambda_init, 64)
-        use3 = failed2 & conv3
-        u2 = jnp.where(use3[:, None], u3, u2)
-        chi2_2 = jnp.where(use3, chi2_3, chi2_2)
-        conv2 = conv2 | use3
-        it2 = it2 + jnp.where(failed2, it3, 0)
+
+        def _run3(args):
+            f2, u1_, u2_, chi2_2_, conv2_, it2_ = args
+            sinu1 = jnp.sin(u1_)
+            sat = jnp.abs(sinu1) > 0.95
+            u_pb = jnp.where(sat & pm, jnp.arcsin(0.8 * jnp.sign(sinu1)),
+                             u1_)
+            u3, chi2_3, conv3, it3 = _retry_pass(u_pb, f2,
+                                                 cfg.lm_lambda_init, 64)
+            use3 = f2 & conv3
+            return (jnp.where(use3[:, None], u3, u2_),
+                    jnp.where(use3, chi2_3, chi2_2_),
+                    conv2_ | use3,
+                    it2_ + jnp.where(f2, it3, 0))
+
+        def _skip3(args):
+            _, _, u2_, chi2_2_, conv2_, it2_ = args
+            return u2_, chi2_2_, conv2_, it2_
+
+        u2, chi2_2, conv2, it2 = jax.lax.cond(
+            jnp.any(failed2), _run3, _skip3,
+            (failed2, u1, u2, chi2_2, conv2, it2))
 
     return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
                     failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)

@@ -180,6 +180,9 @@ _DELEGATED = {
     "extract-templates": ("npswf_tpu.tools.extract_templates",
                           "build per-block reference-waveform calibration "
                           "from clean single-pulse events in a raw segment"),
+    "measure-link": ("npswf_tpu.tools.measure_link",
+                     "host<->device link bandwidth (median of N >=8 MB "
+                     "transfers) + derived e2e transfer-floor ceiling"),
 }
 
 

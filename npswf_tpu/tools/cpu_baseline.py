@@ -139,17 +139,46 @@ def measure_cpu_baseline(cfg: NPSConfig, cal: CalibrationBundle,
     }
 
 
+def measure_cpu_baseline_spread(cfg: NPSConfig, cal: CalibrationBundle,
+                                seeds=(7, 19, 41),
+                                time_budget_s: float = 5.0,
+                                min_blocks: int = 48) -> Dict:
+    """Run the baseline over >=3 independent noise seeds.
+
+    A single-seed denominator is anecdotal: the fit cost depends on the
+    noise draw (TRF iteration counts vary). The spread (min/median/max over
+    seeds) gives the denominator an error bar; consumers wanting the most
+    conservative (hardest) denominator take the max.
+    """
+    import statistics
+
+    from npswf_tpu.utils.synthetic import make_events
+
+    per_seed = []
+    for seed in seeds:
+        truth = make_events(cfg, cal, 4, occupancy=1.0, max_pulses=2,
+                            pileup_prob=0.25, seed=seed)
+        per_seed.append(measure_cpu_baseline(
+            cfg, cal, truth.signal, np.asarray(cal.timeref, np.float64),
+            time_budget_s=time_budget_s, min_blocks=min_blocks))
+
+    def spread(key):
+        vals = [r[key] for r in per_seed]
+        return {"min": min(vals), "median": statistics.median(vals),
+                "max": max(vals)}
+
+    return {"seeds": list(seeds), "per_seed": per_seed,
+            "search_ms_per_block": spread("search_ms_per_block"),
+            "fit_ms_per_block": spread("fit_ms_per_block"),
+            "blocks_per_sec_4thread": spread("blocks_per_sec_4thread")}
+
+
 def main() -> int:
     from npswf_tpu.core.calibration import synthetic_calibration
-    from npswf_tpu.utils.synthetic import make_events
 
     cfg = NPSConfig()
     cal = synthetic_calibration(cfg, seed=1)
-    truth = make_events(cfg, cal, 4, occupancy=1.0, max_pulses=2,
-                        pileup_prob=0.25, seed=7)
-    res = measure_cpu_baseline(cfg, cal, truth.signal,
-                               np.asarray(cal.timeref, dtype=np.float64),
-                               time_budget_s=15.0)
+    res = measure_cpu_baseline_spread(cfg, cal, time_budget_s=10.0)
     print(json.dumps(res, indent=2))
     return 0
 
