@@ -198,6 +198,56 @@ def test_convert_missing_input_path(fake_root):
         convert("/nonexistent/file.root", "/tmp/never.npz")
 
 
+_HAVE_REAL_UPROOT_AWKWARD = all(
+    __import__("importlib.util", fromlist=["util"]).find_spec(m) is not None
+    for m in ("uproot", "awkward"))
+
+
+@pytest.mark.skipif(not _HAVE_REAL_UPROOT_AWKWARD,
+                    reason="uproot/awkward not installed (zero-egress "
+                           "environment); runs automatically wherever they "
+                           "exist — RUNBOOK.md validation step")
+def test_real_uproot_raw_round_trip(tmp_path):
+    """With REAL uproot: write a raw-shaped T tree, read it via convert_root.
+
+    Zero-new-code external validation of the ingestion bridge: real uproot
+    writes the 9 analysis branches (jagged via awkward) and convert_root
+    must pull them through byte-identically."""
+    import awkward as ak
+    import uproot
+
+    from npswf_tpu.tools.convert_root import convert
+
+    rng = np.random.default_rng(11)
+    E = 4
+    streams = [np.concatenate([[float(b), 3.0], rng.uniform(0, 50, 3)])
+               for b in range(E)]
+    counts = rng.integers(1, 4, E)
+    hits = {k: ak.Array([rng.uniform(0, 100, c).tolist() for c in counts])
+            for k in ("NPS.cal.fly.adcCounter", "NPS.cal.fly.adcSampPulseAmp",
+                      "NPS.cal.fly.adcSampPulseInt", "NPS.cal.fly.adcSampPed",
+                      "NPS.cal.fly.adcSampPulseTime",
+                      "NPS.cal.fly.adcSampPulseTimeRaw")}
+    path = str(tmp_path / "real_raw.root")
+    with uproot.recreate(path) as f:
+        f["T"] = {
+            "NPS.cal.fly.adcSampWaveform": ak.Array(
+                [s.tolist() for s in streams]),
+            "Ndata.NPS.cal.fly.adcSampWaveform": np.asarray(
+                [len(s) for s in streams], np.float64),
+            "Ndata.NPS.cal.fly.adcCounter": counts.astype(np.float64),
+            "g.evnum": np.arange(1.0, E + 1.0),
+            "g.runnum": np.full(E, 3000.0),
+            **hits,
+        }
+    out = str(tmp_path / "real_seg.npz")
+    assert convert(path, out) == E
+    seg = read_segment(out)
+    np.testing.assert_allclose(seg.stream, np.concatenate(streams), atol=0)
+    np.testing.assert_array_equal(np.diff(seg.hit_offsets), counts)
+    np.testing.assert_allclose(seg.evt, np.arange(1.0, E + 1.0))
+
+
 def test_payload_round_trips_into_wf_output(fake_root, tmp_path, small_cfg,
                                             small_cal):
     """converted -> processed: the WF output preserves every payload column

@@ -2,48 +2,33 @@
 
 The inverse bridge (WF .npz -> the reference consumers' ROOT file,
 ref TEST_2.C:1383-1432) is tested by injecting a fake writable ``uproot``
-into sys.modules. Covers: the 17-branch WF tree content in
-(runnum, evt)-sorted order, jagged wfampl/wftime/h1time/h2time
-reconstruction, the restored T tree (flat + ragged payload), restored
-histograms and scalar parameters, and a full pipeline round trip
-(npz -> root-stub -> column equality).
+into sys.modules — the FIDELITY stub (tests/uproot_stub.py), which enforces
+real uproot's call shapes and input constraints (equal branch lengths,
+jagged-input form, histogram edge structure) so an API misuse fails here
+instead of on the first machine with real uproot. Covers: the 17-branch WF
+tree content in (runnum, evt)-sorted order, jagged wfampl/wftime/h1time/
+h2time reconstruction, the restored T tree (flat + ragged payload), restored
+histograms and scalar parameters, a full pipeline round trip
+(npz -> root-stub -> column equality), a committed schema snapshot pinning
+the output contract, and (auto-skipped here) a REAL-uproot round trip that
+runs with zero new code on any machine where uproot is installed.
 """
-import sys
-import types
+import importlib.util
+import json
+import os
 
 import numpy as np
 import pytest
 
 from npswf_tpu.io.writer import WFWriter, read_wf
+from tests.uproot_stub import install_stub
 
-
-class FakeWritableFile:
-    def __init__(self):
-        self.written = {}
-
-    def __setitem__(self, key, value):
-        self.written[key] = value
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
+HAVE_REAL_UPROOT = importlib.util.find_spec("uproot") is not None
 
 
 @pytest.fixture()
 def stub_uproot(monkeypatch):
-    files = {}
-
-    def recreate(path):
-        f = FakeWritableFile()
-        files[path] = f
-        return f
-
-    stub = types.ModuleType("uproot")
-    stub.recreate = recreate
-    monkeypatch.setitem(sys.modules, "uproot", stub)
-    return files
+    return install_stub(monkeypatch)
 
 
 def _make_wf_file(tmp_path, small_cfg, small_cal, payload=None):
@@ -159,3 +144,103 @@ def test_empty_wf_file_converts(stub_uproot, tmp_path):
     for b in REFERENCE_BRANCHES:
         assert b in wf_tree
         assert len(wf_tree[b]) == 0
+
+
+# ----------------------------------------------------------------------
+# Output-contract schema snapshot
+# ----------------------------------------------------------------------
+_SNAPSHOT = os.path.join(os.path.dirname(__file__), "data",
+                         "wf_root_schema.json")
+
+
+def _derive_schema(written, jagged):
+    """Canonical structural description of the converted ROOT output.
+
+    dtype KINDS (f/i/b/u) rather than widths so the snapshot is invariant
+    to the test suite's x64 mode vs production fp32; jaggedness, branch
+    inventory, histogram binning, and key order are pinned exactly.
+    """
+    schema = {}
+    for key in sorted(written):
+        v = written[key]
+        if isinstance(v, dict):  # a tree
+            branches = {}
+            for name in sorted(v):
+                b = v[name]
+                if jagged.get(key, {}).get(name):
+                    kind = (np.asarray(b[0]).dtype.kind if len(b) else "f")
+                    branches[name] = {"jagged": True, "kind": kind}
+                else:
+                    arr = np.asarray(b)
+                    branches[name] = {
+                        "jagged": False, "kind": arr.dtype.kind,
+                        "leaf_shape": list(arr.shape[1:])}
+            schema[key] = {"type": "tree", "branches": branches}
+        elif isinstance(v, tuple):  # a histogram
+            values = np.asarray(v[0])
+            schema[key] = {
+                "type": "histogram",
+                "bins": list(values.shape),
+                "edges": [[float(np.asarray(e)[0]), float(np.asarray(e)[-1])]
+                          for e in v[1:]]}
+    return schema
+
+
+def test_root_output_schema_snapshot(stub_uproot, tmp_path, small_cfg,
+                                     small_cal):
+    """The converted ROOT output's structure is pinned by a committed
+    snapshot: branch inventory, jaggedness, dtype kinds, leaf shapes, and
+    histogram binning (the contract downstream ROOT consumers read,
+    ref TEST_2.C:1383-1432, README.md:100-122). Any drift fails here.
+
+    Regenerate after an INTENTIONAL contract change:
+        NPSWF_UPDATE_SNAPSHOTS=1 python -m pytest \
+            tests/test_convert_wf_root.py -k snapshot
+    """
+    from npswf_tpu.tools.convert_wf_to_root import convert
+    path, *_ = _make_wf_file(tmp_path, small_cfg, small_cal)
+    root_path = str(tmp_path / "schema.root")
+    convert(path, root_path)
+    f = stub_uproot[root_path]
+    schema = _derive_schema(f.written, f.jagged)
+    if os.environ.get("NPSWF_UPDATE_SNAPSHOTS"):
+        with open(_SNAPSHOT, "w") as fh:
+            json.dump(schema, fh, indent=1, sort_keys=True)
+    with open(_SNAPSHOT) as fh:
+        expected = json.load(fh)
+    assert schema == expected, (
+        "ROOT output schema drifted from the committed snapshot "
+        f"({_SNAPSHOT}); if intentional, regenerate with "
+        "NPSWF_UPDATE_SNAPSHOTS=1")
+
+
+@pytest.mark.skipif(not HAVE_REAL_UPROOT,
+                    reason="uproot not installed (zero-egress environment); "
+                           "runs automatically wherever uproot exists — "
+                           "RUNBOOK.md validation step")
+def test_real_uproot_round_trip(tmp_path, small_cfg, small_cal):
+    """With REAL uproot: write the ROOT file, read it back, compare columns.
+
+    This is the zero-new-code external validation path: the first machine
+    with uproot installed runs the true bridge round trip just by running
+    the suite."""
+    import uproot
+
+    from npswf_tpu.tools.convert_wf_to_root import convert
+    path, *_ = _make_wf_file(tmp_path, small_cfg, small_cal)
+    root_path = str(tmp_path / "real.root")
+    n = convert(path, root_path)
+    wf = read_wf(path)
+    order = np.asarray(wf["sort_order"], np.int64)
+    with uproot.open(root_path) as f:
+        tree = f["WF"]
+        assert tree.num_entries == n
+        np.testing.assert_allclose(tree["evt"].array(library="np"),
+                                   np.asarray(wf["evt"], np.float64)[order])
+        np.testing.assert_allclose(tree["chi2"].array(library="np"),
+                                   wf["chi2"][order])
+        ampl = tree["wfampl"].array(library="np")
+        for i, row in enumerate(order):
+            lo, hi = wf["wf_offsets"][row], wf["wf_offsets"][row + 1]
+            np.testing.assert_allclose(np.asarray(ampl[i]),
+                                       wf["wfampl_flat"][lo:hi])
