@@ -111,6 +111,24 @@ class NPSConfig:
     # reference's failure semantics (it stops after the strategy-2
     # retry, ref TEST_2.C:761-791 — PARITY.md Q8).
     lm_stage3: bool = True
+    # stage-3 pull-back rungs: each magnitude m re-solves the lanes still
+    # failed after the previous rung from the stage-1 end state with
+    # bound-saturated components pulled back to sin(u) = +-m. The sweep
+    # exists because one magnitude cannot fit every stuck lane: +-0.8
+    # stays near the bound (right when the optimum hugs it), +-0.5
+    # escapes deeper local structure (the residual clean-data class where
+    # TRF beat the single-rung ladder, SOLVER_AUDIT.md round 2). Each
+    # rung only sees still-failed lanes, so earlier results are
+    # bit-unchanged and every rung is cond-skipped when nothing failed.
+    lm_stage3_pullbacks: Tuple[float, ...] = (0.8, 0.5)
+    # >0: split stage 1 into a full-width pass of this many iterations,
+    # then a COMPACTED continuation of the unconverged lanes (their u,
+    # lambda, and remaining budget carry over, so the LM trajectory — and
+    # every result — is identical to the monolithic run). Median stage-1
+    # convergence is 4 iterations while the budget is 10+: the tail burns
+    # full-width system evals for a shrinking straggler set, and the
+    # continuation runs those at compacted width instead. 0 = off.
+    lm_stage1_tier: int = 0
 
     # ---- waveform model family (the reference hardcodes the spline model
     #      in its fit lambda, ref TEST_2.C:621-635; here it is pluggable) ----
@@ -229,6 +247,8 @@ class NPSConfig:
         d = json.loads(s)
         if "model_aux" in d:  # JSON lists -> hashable tuples
             d["model_aux"] = tuple((k, v) for k, v in d["model_aux"])
+        if "lm_stage3_pullbacks" in d:
+            d["lm_stage3_pullbacks"] = tuple(d["lm_stage3_pullbacks"])
         return cls(**d)
 
 

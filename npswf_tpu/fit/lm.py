@@ -128,7 +128,11 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     ``max_iter`` is the static loop cap; ``iter_budget`` [N] (optional)
     gives each lane its own (<= max_iter) budget — a lane that exhausts its
     budget freezes as not-converged while deeper-budget lanes continue.
-    Returns (u, chi2, converged, n_iter, edm).
+    ``lam0`` may be a scalar or a per-lane [N] array — the latter lets a
+    caller CONTINUE a frozen solve exactly (the trajectory of an LM lane
+    is fully determined by (u, lambda, remaining budget); A/g are pure
+    functions of u and are recomputed identically at re-entry).
+    Returns (u, chi2, converged, n_iter, edm, lam).
     """
     dtype = inp.y.dtype
     N, M = u0.shape
@@ -292,7 +296,8 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
 
     out = jax.lax.while_loop(cond, body, state)
     converged = out["conv"] & active
-    return out["u"], out["chi2"], converged, out["n_iter"], out["edm"]
+    return (out["u"], out["chi2"], converged, out["n_iter"], out["edm"],
+            out["lam"])
 
 
 # ----------------------------------------------------------------------
@@ -337,14 +342,103 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     s1_cap = max(cfg.lm_max_iter_stage1, cfg.lm_stage1_wide)
     s2_cap = max(cfg.lm_max_iter_stage2, cfg.lm_stage2_wide)
 
+    # stage 1 runs with a cap/budget clipped to the tier size when the
+    # tiered layout is on (lm_stage1_tier > 0): a short full-width pass,
+    # then a compacted continuation of the unconverged lanes below.
+    tier = int(cfg.lm_stage1_tier)
+    tiered = 0 < tier < s1_cap
+    s1_run_cap = min(tier, s1_cap) if tiered else s1_cap
+    s1_run_budget = (jnp.minimum(s1_budget, tier).astype(jnp.int32)
+                     if tiered else s1_budget)
+
     if stage1_chunk > 0 and N > stage1_chunk:
-        u1, chi2_1, conv1, it1, edm1 = _stage1_chunked(
-            cfg, model, inp, u0, lo, hi, p_seed, pm, s1_cap, s1_budget,
-            stage1_chunk)
+        u1, chi2_1, conv1, it1, edm1, lam1 = _stage1_chunked(
+            cfg, model, inp, u0, lo, hi, p_seed, pm, s1_run_cap,
+            s1_run_budget, stage1_chunk)
     else:
-        u1, chi2_1, conv1, it1, edm1 = lm_solve(
+        u1, chi2_1, conv1, it1, edm1, lam1 = lm_solve(
             cfg, model, inp, u0, lo, hi, p_seed, pm, inp.active,
-            s1_cap, cfg.lm_lambda_init, s1_budget)
+            s1_run_cap, cfg.lm_lambda_init, s1_run_budget)
+
+    def _compact_pass(mask, start_u, lam0, budgets, cap, denom):
+        """Solve ``mask`` lanes compacted: gathered to the front via a
+        stable argsort, run in static-size chunks under a while_loop until
+        EVERY masked lane has been solved — no silent cap; an empty mask
+        runs zero chunks. ``denom``: chunk = N/denom — every pass pays at
+        least ONE chunk of full depth, so the chunk width must track the
+        pass's typical lane mass. ``lam0``/``budgets`` are per-lane [N]
+        (continuations carry each lane's own lambda and remaining budget).
+        The final chunk clamps to [N - n2, N): overlapped lanes are
+        re-solved deterministically to the same values or inactive.
+        Returns full-width (u, chi2, conv, it, edm); rows are meaningful
+        only where ``mask``."""
+        n2 = max(min(N, 128), N // denom)
+        order2 = jnp.argsort(~mask, stable=True)     # masked lanes first
+        n_masked = jnp.sum(mask).astype(jnp.int32)
+
+        def pass_cond(c):
+            return c[0] < n_masked
+
+        def pass_body(c):
+            start, u2, chi2_2, conv2, it2, edm2 = c
+            idx = jax.lax.dynamic_slice(order2, (start,), (n2,))
+
+            def take(x):
+                return jnp.take(x, idx, axis=0)
+
+            inp2 = FitInputs(
+                y=take(inp.y), sigma=take(inp.sigma),
+                coeffs=take(inp.coeffs), x0=take(inp.x0),
+                t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
+                ped_seed=take(inp.ped_seed),
+                pulse_mask=take(inp.pulse_mask), active=take(mask),
+                timeref=None if inp.timeref is None else take(inp.timeref))
+            u2c, chi2_2c, conv2c, it2c, edm2c, _ = lm_solve(
+                cfg, model, inp2, take(start_u), take(lo), take(hi),
+                take(p_seed), take(pm), take(mask),
+                cap, take(lam0), take(budgets))
+            return (start + jnp.asarray(n2, jnp.int32),
+                    u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
+                    conv2.at[idx].set(conv2c), it2.at[idx].set(it2c),
+                    edm2.at[idx].set(edm2c))
+
+        _, u2, chi2_2, conv2, it2, edm2 = jax.lax.while_loop(
+            pass_cond, pass_body,
+            (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
+             jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
+             jnp.zeros_like(it1), jnp.zeros_like(edm1)))
+        return u2, chi2_2, conv2, it2, edm2
+
+    # tiered stage-1 continuation: lanes still unconverged after the
+    # ``tier``-iteration full-width pass carry their (u, lambda, remaining
+    # budget) into a COMPACTED solve — the LM trajectory, and therefore
+    # every result, is identical to the monolithic run (A/g are pure
+    # functions of u; the carried cache is recomputed bit-identically at
+    # re-entry). Median stage-1 convergence is 4 iterations while the
+    # budget is 10+ (PERF.md): without the tier the straggler ~12% force
+    # every full-width chunk to the whole budget; with it the tail runs at
+    # ~1/8 width. Under lax.cond so an all-converged batch pays nothing.
+    if tiered:
+        cont = inp.active & ~conv1 & (s1_budget > it1)
+
+        def _run_cont(args):
+            cont_m, u1_, chi2_1_, conv1_, it1_, edm1_, lam1_ = args
+            uc, chi2c, convc, itc, edmc = _compact_pass(
+                cont_m, u1_, lam1_, (s1_budget - it1_).astype(jnp.int32),
+                s1_cap - tier, 8)
+            return (jnp.where(cont_m[:, None], uc, u1_),
+                    jnp.where(cont_m, chi2c, chi2_1_),
+                    conv1_ | (cont_m & convc),
+                    it1_ + jnp.where(cont_m, itc, 0),
+                    jnp.where(cont_m, edmc, edm1_))
+
+        def _skip_cont(args):
+            _, u1_, chi2_1_, conv1_, it1_, edm1_, _ = args
+            return u1_, chi2_1_, conv1_, it1_, edm1_
+
+        u1, chi2_1, conv1, it1, edm1 = jax.lax.cond(
+            jnp.any(cont), _run_cont, _skip_cont,
+            (cont, u1, chi2_1, conv1, it1, edm1, lam1))
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
     # (Migrad strategy escalation, ref TEST_2.C:765-767). Two layouts with
@@ -363,57 +457,19 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
         """One restart pass over ``mask`` lanes from ``start_u``.
 
         masked layout: one full-width solve (sequential depth <= s2_cap
-        regardless of failure count). compact layout: masked lanes
-        gathered to the front, re-solved in static-size chunks under a
-        while_loop until EVERY masked lane has been retried — the
-        reference retries all failures (ref :761-773), no silent cap;
-        a clean batch runs zero chunks. ``denom``: chunk = N/denom —
-        every pass pays at least ONE chunk of full retry depth, so the
-        chunk width must track that pass's typical failure mass (stage 2
-        carries the ~10% of lanes the 10-iteration stage-1 budget leaves;
-        stage 3 carries the <1% still failed after stage 2 — a narrower
-        chunk measured 4x cheaper there and identical results)."""
+        regardless of failure count). compact layout: _compact_pass
+        chunks. ``denom``: stage 2 carries the ~10% of lanes the
+        10-iteration stage-1 budget leaves; stage 3 carries the <1% still
+        failed after stage 2 — a narrower chunk measured 4x cheaper there
+        and identical results."""
+        lam0_arr = jnp.full((N,), lam0, dtype)
         if cfg.lm_stage2_mode == "masked":
-            u2, chi2_2, conv2, it2, _ = lm_solve(
+            u2, chi2_2, conv2, it2, _, _ = lm_solve(
                 cfg, model, inp, start_u, lo, hi, p_seed, pm, mask,
-                s2_cap, lam0, s2_budget)
+                s2_cap, lam0_arr, s2_budget)
             return u2, chi2_2, conv2, it2
-        n2 = max(min(N, 128), N // denom)
-        order2 = jnp.argsort(~mask, stable=True)     # masked lanes first
-        n_failed = jnp.sum(mask).astype(jnp.int32)
-
-        def retry_cond(c):
-            return c[0] < n_failed
-
-        def retry_body(c):
-            start, u2, chi2_2, conv2, it2 = c
-            # the final chunk clamps to [N - n2, N): overlapped lanes are
-            # re-solved deterministically to the same values or inactive
-            idx = jax.lax.dynamic_slice(order2, (start,), (n2,))
-
-            def take(x):
-                return jnp.take(x, idx, axis=0)
-
-            inp2 = FitInputs(
-                y=take(inp.y), sigma=take(inp.sigma),
-                coeffs=take(inp.coeffs), x0=take(inp.x0),
-                t_seed=take(inp.t_seed), a_seed=take(inp.a_seed),
-                ped_seed=take(inp.ped_seed),
-                pulse_mask=take(inp.pulse_mask), active=take(mask),
-                timeref=None if inp.timeref is None else take(inp.timeref))
-            u2c, chi2_2c, conv2c, it2c, _ = lm_solve(
-                cfg, model, inp2, take(start_u), take(lo), take(hi),
-                take(p_seed), take(pm), take(mask),
-                s2_cap, lam0, take(s2_budget))
-            return (start + jnp.asarray(n2, jnp.int32),
-                    u2.at[idx].set(u2c), chi2_2.at[idx].set(chi2_2c),
-                    conv2.at[idx].set(conv2c), it2.at[idx].set(it2c))
-
-        _, u2, chi2_2, conv2, it2 = jax.lax.while_loop(
-            retry_cond, retry_body,
-            (jnp.asarray(0, jnp.int32), jnp.zeros_like(u1),
-             jnp.zeros_like(chi2_1), jnp.zeros_like(conv1),
-             jnp.zeros_like(it1)))
+        u2, chi2_2, conv2, it2, _ = _compact_pass(
+            mask, start_u, lam0_arr, s2_budget, s2_cap, denom)
         return u2, chi2_2, conv2, it2
 
     # Each retry stage rides under lax.cond(any(mask), ...) so a batch with
@@ -449,34 +505,37 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     # better minimum exists there (tools/solver_audit.py measured scipy-
     # TRF reaching 20-35% lower chi2 on exactly these lanes). Restart the
     # still-failed lanes from the STAGE-1 END STATE with saturated
-    # components pulled back to sin(u) = +-0.8; converged-lane results
+    # components pulled back to sin(u) = +-m, one rung per magnitude in
+    # cfg.lm_stage3_pullbacks (0.8 near-bound, then 0.5 deeper-interior
+    # for lanes the first rung cannot rescue); converged-lane results
     # from earlier stages are never revisited, so stages 1-2 outputs are
-    # unchanged. On the adversarial ensembles this pass cuts the failure
-    # rate ~5x (wrong-shape 12.4% -> 1.5%; SOLVER_AUDIT.md).
+    # unchanged. On the adversarial ensembles the first rung alone cuts
+    # the failure rate ~5x (wrong-shape 12.4% -> 1.5%; SOLVER_AUDIT.md).
     if cfg.lm_stage3:
-        failed2 = failed1 & ~conv2
-
-        def _run3(args):
-            f2, u1_, u2_, chi2_2_, conv2_, it2_ = args
-            sinu1 = jnp.sin(u1_)
-            sat = jnp.abs(sinu1) > 0.95
-            u_pb = jnp.where(sat & pm, jnp.arcsin(0.8 * jnp.sign(sinu1)),
-                             u1_)
-            u3, chi2_3, conv3, it3 = _retry_pass(u_pb, f2,
-                                                 cfg.lm_lambda_init, 64)
-            use3 = f2 & conv3
-            return (jnp.where(use3[:, None], u3, u2_),
-                    jnp.where(use3, chi2_3, chi2_2_),
-                    conv2_ | use3,
-                    it2_ + jnp.where(f2, it3, 0))
-
         def _skip3(args):
             _, _, u2_, chi2_2_, conv2_, it2_ = args
             return u2_, chi2_2_, conv2_, it2_
 
-        u2, chi2_2, conv2, it2 = jax.lax.cond(
-            jnp.any(failed2), _run3, _skip3,
-            (failed2, u1, u2, chi2_2, conv2, it2))
+        for pullback in cfg.lm_stage3_pullbacks:
+            failed2 = failed1 & ~conv2
+
+            def _run3(args, _pb=float(pullback)):
+                f2, u1_, u2_, chi2_2_, conv2_, it2_ = args
+                sinu1 = jnp.sin(u1_)
+                sat = jnp.abs(sinu1) > 0.95
+                u_pb = jnp.where(sat & pm,
+                                 jnp.arcsin(_pb * jnp.sign(sinu1)), u1_)
+                u3, chi2_3, conv3, it3 = _retry_pass(u_pb, f2,
+                                                     cfg.lm_lambda_init, 64)
+                use3 = f2 & conv3
+                return (jnp.where(use3[:, None], u3, u2_),
+                        jnp.where(use3, chi2_3, chi2_2_),
+                        conv2_ | use3,
+                        it2_ + jnp.where(f2, it3, 0))
+
+            u2, chi2_2, conv2, it2 = jax.lax.cond(
+                jnp.any(failed2), _run3, _skip3,
+                (failed2, u1, u2, chi2_2, conv2, it2))
 
     return _combine(cfg, inp, u0, u1, chi2_1, conv1, it1, edm1,
                     failed1, u2, chi2_2, conv2, it2, lo, hi, p_seed, pm)

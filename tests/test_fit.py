@@ -204,6 +204,38 @@ def test_stage2_masked_matches_compact(cfg, cal):
                                np.asarray(res_m.chi2), rtol=1e-10, atol=1e-10)
 
 
+def test_stage1_tier_matches_monolithic(cfg, cal):
+    """The tiered stage-1 layout (short full-width pass + compacted
+    continuation of unconverged lanes) must be result-identical to the
+    monolithic stage 1: each lane's (u, lambda, remaining budget) carries
+    over and A/g are pure functions of u, so the LM trajectory is the
+    same walk. Checked for both the plain and the lax.map-chunked stage-1
+    layouts, including iteration counts (trajectory identity, not just
+    endpoint agreement)."""
+    N = 192
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=N, seed=33, max_pulses=2,
+                            seed_jitter=3.0)
+    for chunk in (0, 64):
+        base = fit_waveforms(cfg, inp, stage1_chunk=chunk)
+        tiered = fit_waveforms(cfg.replace(lm_stage1_tier=4), inp,
+                               stage1_chunk=chunk)
+        assert np.asarray(base.converged).mean() > 0.8
+        np.testing.assert_array_equal(np.asarray(base.converged),
+                                      np.asarray(tiered.converged))
+        np.testing.assert_array_equal(np.asarray(base.converged_stage1),
+                                      np.asarray(tiered.converged_stage1))
+        np.testing.assert_array_equal(np.asarray(base.n_iter),
+                                      np.asarray(tiered.n_iter))
+        # XLA reassociates reductions differently at different batch
+        # widths (the continuation runs lanes compacted), so last-ulp
+        np.testing.assert_allclose(np.asarray(base.params),
+                                   np.asarray(tiered.params),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(base.chi2),
+                                   np.asarray(tiered.chi2),
+                                   rtol=1e-10, atol=1e-10)
+
+
 def test_fp32_matches_fp64(cfg, cal):
     inp64, t_true, a_true, ped, npul = _build_inputs(cfg, cal, n_lanes=32, seed=6)
     inp32 = FitInputs(*[
@@ -257,7 +289,7 @@ def test_gaussian_model_family(cfg, cal):
             aux = dict(aux)
             aux["width"] = jnp.asarray(width)
             return aux
-    u, chi2, conv, n_iter, edm = lm_solve(
+    u, chi2, conv, n_iter, edm, _lam = lm_solve(
         cfg, _M(), inp, u0, lo, hi, p_seed, pm, inp.active,
         cfg.lm_max_iter_stage1, cfg.lm_lambda_init)
     convn = np.asarray(conv)
