@@ -128,7 +128,10 @@ class NPSConfig:
     # convergence is 4 iterations while the budget is 10+: the tail burns
     # full-width system evals for a shrinking straggler set, and the
     # continuation runs those at compacted width instead. 0 = off.
-    lm_stage1_tier: int = 0
+    # Default 4 = the TPU-measured knee (dense 64-ev batch: 133.7 ms at
+    # 0 -> 122.7 ms at 4; 3 is 142.7 and 5 is 124.7 — the knee sits at
+    # the measured median stage-1 convergence, PERF.md round 3).
+    lm_stage1_tier: int = 4
 
     # ---- waveform model family (the reference hardcodes the spline model
     #      in its fit lambda, ref TEST_2.C:621-635; here it is pluggable) ----

@@ -413,8 +413,10 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     # ``tier``-iteration full-width pass carry their (u, lambda, remaining
     # budget) into a COMPACTED solve — the LM trajectory, and therefore
     # every result, is identical to the monolithic run (A/g are pure
-    # functions of u; the carried cache is recomputed bit-identically at
-    # re-entry). Median stage-1 convergence is 4 iterations while the
+    # functions of u; the carried cache is recomputed identically at
+    # re-entry, up to last-ulp XLA codegen differences across chunk
+    # widths — see the tier-equivalence test). Median stage-1
+    # convergence is 4 iterations while the
     # budget is 10+ (PERF.md): without the tier the straggler ~12% force
     # every full-width chunk to the whole budget; with it the tail runs at
     # ~1/8 width. Under lax.cond so an all-converged batch pays nothing.

@@ -172,9 +172,14 @@ def test_executor_with_mesh(cfg, cal, tmp_path):
     run_segment(cfg, cal, seg, out2, batch_size=8, mesh=mesh)
     a, b = read_wf(out1), read_wf(out2)
     np.testing.assert_array_equal(a["wfnpulse"], b["wfnpulse"])
-    np.testing.assert_allclose(a["chi2"], b["chi2"], rtol=1e-8, atol=1e-8)
+    # Last-ulp (fp32) tolerance, not bitwise: the tiered stage-1
+    # continuation re-solves unconverged lanes in compacted chunks whose
+    # width is shard-local (N//8), and XLA's vector-body vs remainder-tail
+    # codegen for the transcendentals differs by 1 ulp between widths
+    # (same caveat as the tier-equivalence test in test_fit.py).
+    np.testing.assert_allclose(a["chi2"], b["chi2"], rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(a["wftime_flat"], b["wftime_flat"],
-                               rtol=1e-8, atol=1e-8)
+                               rtol=2e-6, atol=2e-6)
 
 
 def test_search_capacity_equivalence_and_overflow(small_cfg, small_cal):

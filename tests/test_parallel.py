@@ -43,12 +43,16 @@ def test_sharded_matches_single_device(cfg, cal, n_data, n_block):
 
     np.testing.assert_array_equal(np.asarray(out.wfnpulse), np.asarray(ref.wfnpulse))
     np.testing.assert_array_equal(np.asarray(out.gate), np.asarray(ref.gate))
+    # Last-ulp (fp32) tolerance, not bitwise: compacted LM retry/continuation
+    # chunks compile at shard-local widths (N//denom), and XLA's vector-body
+    # vs remainder-tail codegen differs by 1 ulp between widths (same caveat
+    # as the tier-equivalence test in test_fit.py).
     np.testing.assert_allclose(np.asarray(out.chi2), np.asarray(ref.chi2),
-                               rtol=1e-9, atol=1e-9)
+                               rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out.wftime), np.asarray(ref.wftime),
-                               rtol=1e-9, atol=1e-9)
+                               rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(np.asarray(out.enertot), np.asarray(ref.enertot),
-                               rtol=1e-9)
+                               rtol=2e-6)
     assert int(out.n_fit_success) == int(ref.n_fit_success)
     assert int(out.n_fit_failure) == int(ref.n_fit_failure)
 
