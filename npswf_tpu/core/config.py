@@ -184,6 +184,15 @@ class NPSConfig:
                                      # stages extra HBM<->VMEM copies around
                                      # the custom call); off until that
                                      # scheduling is understood
+    use_pallas_lm: bool = True       # whole-loop Pallas LM solver: the entire
+                                     # iteration loop (eval + normal equations
+                                     # + Cholesky + accept/reject) runs inside
+                                     # ONE kernel per stage with all state in
+                                     # VMEM — no per-iteration HBM round trips
+                                     # (fit/pallas_lm.py). Narrow spline
+                                     # bucket only; falls back to the XLA
+                                     # while_loop elsewhere
+    pallas_lm_tile: int = 256        # lane tile of the whole-loop LM kernel
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 
     # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----

@@ -231,8 +231,18 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     model_name = "spline_ref_pallas" if (
         cfg.model_name == "spline_ref" and pallas_enabled(cfg)
     ) else cfg.model_name
+    from npswf_tpu.fit.lm import _pallas_lm_active
+    from npswf_tpu.models.waveform import get_model
+    _model_obj = get_model(model_name)
     for mask, cap_b, Pb in buckets:
-        one_chunk = cfg.fit_chunk <= 0 or cap_b <= cfg.fit_chunk
+        # The whole-loop Pallas LM needs no lax.map chunking (its grid tiles
+        # the lanes and each tile early-exits), so when capacity covers every
+        # lane the compaction permutation (argsort + [N, T]/[N, S, 4]
+        # gathers) is pure overhead for it — fit in place instead. With a
+        # real capacity (sparse production) compaction stays: it fronts-packs
+        # the active lanes so trailing kernel tiles skip entirely.
+        one_chunk = (cfg.fit_chunk <= 0 or cap_b <= cfg.fit_chunk
+                     or _pallas_lm_active(cfg, _model_obj, Pb))
 
         def _build_inputs(sel_blocks, sel_sig, take, _Pb=Pb):
             sel_err = error_model(cfg, sel_sig)

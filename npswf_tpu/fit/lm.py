@@ -149,6 +149,15 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
     eye = jnp.eye(M, dtype=dtype)
 
     is_pallas_model = getattr(model, "name", "") == "spline_ref_pallas"
+    if _pallas_lm_active(cfg, model, inp.t_seed.shape[1]):
+        # whole-loop Pallas LM: the entire iteration loop runs inside one
+        # kernel with all state in VMEM (fit/pallas_lm.py) — semantically
+        # identical to the while_loop below, fp32-ulp summation differences
+        from npswf_tpu.fit.pallas_lm import lm_solve_pallas
+        return lm_solve_pallas(
+            cfg, aux["coeffs_pad"], inp.x0, inp.y, w, u0, lo, hi,
+            p_seed, param_mask, active, max_iter, lam0, iter_budget,
+            interpret=cfg.interpret_pallas)
     if cfg.use_fused_system and is_pallas_model:
         # fully fused path: bound transform + spline eval + Jacobian columns
         # + normal equations in ONE Pallas call — no [N, K, M] Jacobian ever
@@ -300,6 +309,14 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
             out["lam"])
 
 
+def _pallas_lm_active(cfg: NPSConfig, model: WaveformModel, P: int) -> bool:
+    """Whether the whole-loop Pallas LM kernel serves this solve: spline
+    model, narrow parameter vector, no conflicting fused-path flags."""
+    return (cfg.use_pallas_lm and P <= NARROW_P
+            and getattr(model, "name", "") == "spline_ref_pallas"
+            and not cfg.use_fused_system and not cfg.use_fused_neq)
+
+
 # ----------------------------------------------------------------------
 # Public entry: two-stage escalated fit
 # ----------------------------------------------------------------------
@@ -345,13 +362,19 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
     # stage 1 runs with a cap/budget clipped to the tier size when the
     # tiered layout is on (lm_stage1_tier > 0): a short full-width pass,
     # then a compacted continuation of the unconverged lanes below.
+    # Both the tier and lax.map chunking exist to bound the HBM traffic
+    # and fixed cost of the host-composed while_loop; the whole-loop
+    # Pallas kernel has neither problem (its grid tiles the lanes, its
+    # iterations live in VMEM, and each tile early-exits on its own), so
+    # the kernel path runs stage 1 monolithic.
+    pallas_lm = _pallas_lm_active(cfg, model, P)
     tier = int(cfg.lm_stage1_tier)
-    tiered = 0 < tier < s1_cap
+    tiered = 0 < tier < s1_cap and not pallas_lm
     s1_run_cap = min(tier, s1_cap) if tiered else s1_cap
     s1_run_budget = (jnp.minimum(s1_budget, tier).astype(jnp.int32)
                      if tiered else s1_budget)
 
-    if stage1_chunk > 0 and N > stage1_chunk:
+    if stage1_chunk > 0 and N > stage1_chunk and not pallas_lm:
         u1, chi2_1, conv1, it1, edm1, lam1 = _stage1_chunked(
             cfg, model, inp, u0, lo, hi, p_seed, pm, s1_run_cap,
             s1_run_budget, stage1_chunk)
@@ -497,9 +520,16 @@ def fit_waveforms(cfg: NPSConfig, inp: FitInputs,
         return jax.lax.cond(jnp.any(mask), _run, _skip, (mask, start_u))
 
     # stage 2: restart failed lanes from the seeds with a bigger budget
-    # (Migrad strategy escalation, ref TEST_2.C:765-767)
+    # (Migrad strategy escalation, ref TEST_2.C:765-767). On the Pallas-LM
+    # path the chunk is halved (denom 32): a pallas_call inside the
+    # compact pass's while body gets ALL its operands staged in scoped
+    # VMEM by XLA, and a 4320-wide chunk's staging (coeff planes + y/w/
+    # meta) overflows the 16 MB scoped budget; 2160 lanes fit — and
+    # stage-2 failure mass (<1% of lanes) rarely needs even one chunk's
+    # width, so the narrower chunk costs nothing.
     u2, chi2_2, conv2, it2 = _cond_retry(failed1, u0,
-                                         cfg.lm_lambda_init * 10.0, 16)
+                                         cfg.lm_lambda_init * 10.0,
+                                         32 if pallas_lm else 16)
 
     # stage 3 (bound-escape): the sin transform sticks at active bounds —
     # once |sin(u)| saturates, cos(u) -> 0 collapses the effective step
