@@ -169,6 +169,11 @@ class NPSConfig:
                                      # the Pallas-eval VMEM ceiling (~17k)
     fit_small_pulses: int = 2        # bucket boundary: lanes with <= this many
                                      # pulses fit with a narrow parameter vector
+    fit_mid_pulses: int = 4          # second boundary: lanes with small <
+                                     # npulse <= this fit in a medium bucket
+                                     # (kept <= the Pallas LM narrow limit so
+                                     # moderate pileup stays on the fast
+                                     # kernel); <= fit_small_pulses disables
     fit_big_frac: int = 8            # capacity of the wide bucket = cap/this
     spline_mode: str = "auto"        # segment select: "auto" | "gather" |
                                      # "onehot" (MXU); auto = onehot off-CPU
@@ -193,6 +198,10 @@ class NPSConfig:
                                      # bucket only; falls back to the XLA
                                      # while_loop elsewhere
     pallas_lm_tile: int = 256        # lane tile of the whole-loop LM kernel
+    pallas_lm_max_pulses: int = 4    # widest bucket the whole-loop kernel
+                                     # serves; wider buckets (the unrolled
+                                     # packed Cholesky grows ~M^3/6 vector
+                                     # statements) fall back to the XLA path
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 
     # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----

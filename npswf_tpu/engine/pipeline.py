@@ -224,6 +224,18 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             cap_big = N
         else:
             cap_big = max(min(N, 256), cap_all // max(cfg.fit_big_frac, 1))
+        # middle bucket: moderate-pileup lanes (Ps < npulse <= fit_mid_pulses)
+        # fit with a medium parameter vector instead of the full 25-wide
+        # system — at fit_mid_pulses = 4 they stay inside the whole-loop
+        # Pallas LM's narrow limit (measured 8.1x on a 60%-pileup batch:
+        # 695 -> 86 ms vs routing them to the wide XLA bucket). Bucket
+        # routing stays result-neutral (padded params, per-lane budgets
+        # keyed on the lane's own pulse count). Empty buckets cond-skip.
+        Pm = min(cfg.fit_mid_pulses, P)
+        if Pm > Ps:
+            mid_active = big_active & (npulse <= Pm)
+            big_active = big_active & (npulse > Pm)
+            buckets.append((mid_active, cap_big, Pm))
         buckets.append((big_active, cap_big, P))
     # the fused Pallas evaluator covers the spline model's narrow bucket
     # (small static P); other model families run their registered impl
@@ -532,21 +544,14 @@ _LANE_FIELDS = ("wfnpulse", "chi2", "ampl", "amplwf", "timewf", "pedwf",
                 "search_overflow")
 
 
-def _packet_layout(E: int, B: int, cap: int, lane_cap: int = 0):
-    """[(field, shape, dtype)] in serialization order.
-
-    ``lane_cap`` > 0 switches the [E, B] lane fields to present-lane
-    compacted [lane_cap] rows (row-major order of the decoder's ``pres``
-    mask, which BOTH sides know — the host from the decoded batch, the
-    device from the uploaded EventBatch — so no index vector is needed),
-    followed by one default value per lane field (the shared output of
-    every absent lane: the decoder zero-fills absent waveforms and
-    ``block_diagnostics`` is a function of the signal alone, so all
-    absent lanes produce identical values) and ``n_pres`` for the
-    overflow check.
-    """
+def _packet_layout(E: int, B: int, cap: int):
+    """[(field, shape, dtype)] in dense serialization order (the sparse
+    slab layout lives in ``_slab_layout``; its lane compaction uses the
+    row-major order of the decoder's ``pres`` mask, which BOTH sides know,
+    plus one default value per lane field — every absent lane produces
+    identical outputs from its zero-filled signal)."""
     i32, f32, bl = jnp.int32, None, bool
-    lane_shape = (lane_cap,) if lane_cap > 0 else (E, B)
+    lane_shape = (E, B)
     lane_dt = {"wfnpulse": i32, "search_overflow": bl}
     layout = [
         ("wfnpulse", lane_shape, i32), ("wf_counts_e", (E,), i32),
@@ -562,10 +567,6 @@ def _packet_layout(E: int, B: int, cap: int, lane_cap: int = 0):
         ("n_fit_dropped", (), i32), ("n_high_pulse", (), i32),
         ("n_search_dropped", (), i32),
     ]
-    if lane_cap > 0:
-        layout += [(f"default_{f}", (), lane_dt.get(f))
-                   for f in _LANE_FIELDS]
-        layout.append(("n_pres", (), i32))
     return layout
 
 
@@ -577,53 +578,170 @@ def flatten_packet(pkt: WriterPacket) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
-def flatten_packet_sparse(pkt: WriterPacket, pres: jnp.ndarray,
-                          lane_cap: int) -> jnp.ndarray:
-    """Serialize with present-lane compaction of the [E, B] fields.
+# ---- slab packet (sparse readout, round 4) ---------------------------
+# The device-side ragged flattens (_ragged_flatten_device) cost two
+# full-width [E*B*P] multi-operand sorts (~30 ms/batch measured) — the
+# dominant device cost of the packed path once the fit went in-kernel.
+# In sparse mode the pulse-bearing lanes are few, so instead of
+# flattening on device, the packet ships per-lane SLABS ([lane_cap, P]
+# rows in row-major present order, one [E*B]-argsort + gathers) and the
+# HOST reconstructs the exact ragged arrays (prefix masks over the
+# reconstructed dense slabs — numpy boolean indexing, microseconds at
+# production occupancy). Element capacity disappears entirely: only lane
+# overflow (occupancy burst beyond lane_cap) forces the dense fallback.
 
-    ``pres`` is the decoder's present mask [E, B] (EventBatch.pres as
-    uploaded — NOT masked by preswf: a pres lane with no reference
-    waveform still carries a real signal whose diagnostics the writer
-    persists). Lane values are packed in row-major present order; one
-    default value (taken from the first absent lane) covers every
-    absent lane, which all share identical outputs (zero-filled signal).
-    """
-    E, B = pkt.wfnpulse.shape
+_SLAB_FIELDS = ("wftime", "wfampl", "h1time", "h2time")
+
+
+def _slab_layout(E: int, B: int, P: int, lane_cap: int):
+    """[(field, shape, dtype)] for the slab packet serialization."""
+    i32, f32, bl = jnp.int32, None, bool
+    lane_dt = {"wfnpulse": i32, "search_overflow": bl}
+    layout = [
+        ("wfnpulse", (lane_cap,), i32), ("wf_counts_e", (E,), i32),
+        ("wftime_slab", (lane_cap, P), f32),
+        ("wfampl_slab", (lane_cap, P), f32),
+        ("h1_slab", (lane_cap, P), f32),
+        ("h2_slab", (lane_cap, P), f32),
+        ("hmask_slab", (lane_cap, P), bl),
+        ("h_counts_e", (E,), i32),
+        ("chi2", (lane_cap,), f32), ("ampl", (lane_cap,), f32),
+        ("amplwf", (lane_cap,), f32), ("timewf", (lane_cap,), f32),
+        ("pedwf", (lane_cap,), f32),
+        ("enertot", (E,), f32), ("integtot", (E,), f32),
+        ("search_overflow", (lane_cap,), bl),
+        ("n_fit_success", (), i32), ("n_fit_failure", (), i32),
+        ("n_fit_dropped", (), i32), ("n_high_pulse", (), i32),
+        ("n_search_dropped", (), i32),
+    ]
+    layout += [(f"default_{f}", (), lane_dt.get(f)) for f in _LANE_FIELDS]
+    layout.append(("n_pres", (), i32))
+    return layout
+
+
+def flatten_packet_slab(out: PipelineOutput, pres: jnp.ndarray,
+                        lane_cap: int) -> jnp.ndarray:
+    """Serialize a PipelineOutput directly to one [total] f32 slab packet.
+
+    ``pres`` is the decoder's present mask (EventBatch.pres as uploaded).
+    No device-side ragged flatten happens; see _slab_layout."""
+    E, B, P = out.wftime.shape
     v = pres.reshape(-1).astype(bool)
     sel = jnp.argsort(~v, stable=True)[:lane_cap]     # row-major pres first
     idx_abs = jnp.argmin(v)                           # first absent lane
+    lane2d = {"wftime_slab": out.wftime, "wfampl_slab": out.wfampl,
+              "h1_slab": out.h1time, "h2_slab": out.h2time,
+              "hmask_slab": out.h_mask}
+    derived = {
+        "wf_counts_e": jnp.sum(out.wfnpulse, axis=1, dtype=jnp.int32),
+        "h_counts_e": jnp.sum(out.h_mask, axis=(1, 2), dtype=jnp.int32),
+        "n_pres": jnp.sum(v.astype(jnp.int32)),
+    }
     parts = []
-    for name, shape, _ in _packet_layout(E, B, pkt.wftime_flat.shape[0],
-                                         lane_cap):
-        if name.startswith("default_"):
-            val = getattr(pkt, name[len("default_"):]).reshape(-1)[idx_abs]
-        elif name == "n_pres":
-            val = jnp.sum(v.astype(jnp.int32))
+    for name, shape, _ in _slab_layout(E, B, P, lane_cap):
+        if name in lane2d:
+            val = lane2d[name].reshape(E * B, P)[sel]
+        elif name in derived:
+            val = derived[name]
+        elif name.startswith("default_"):
+            val = getattr(out, name[len("default_"):]).reshape(-1)[idx_abs]
         elif name in _LANE_FIELDS:
-            val = getattr(pkt, name).reshape(-1)[sel]
+            val = getattr(out, name).reshape(-1)[sel]
         else:
-            val = getattr(pkt, name)
+            val = getattr(out, name)
         parts.append(jnp.ravel(val).astype(jnp.float32))
     return jnp.concatenate(parts)
 
 
-def unflatten_packet(buf, E: int, B: int, cap: int,
-                     pres=None, lane_cap: int = 0):
-    """Host-side inverse of ``flatten_packet`` (numpy in, numpy out).
-
-    For a sparse packet (``lane_cap`` > 0) the caller passes the decoded
-    ``pres`` [E, B] host mask; lane fields are reconstructed dense by
-    scattering the compacted rows over the default value.
-
-    Returns ``(packet, lane_overflow)``: ``lane_overflow`` is True when
-    the batch had more present lanes than ``lane_cap`` (the packet's
-    lane fields are then unusable — the executor falls back to the
-    dense fetch of the full PipelineOutput)."""
+def unflatten_packet_slab(buf, E: int, B: int, P: int, lane_cap: int,
+                          pres) -> Tuple[WriterPacket, bool]:
+    """Host-side inverse of ``flatten_packet_slab``: rebuilds the exact
+    WriterPacket (including the ragged wftime/wfampl/h1/h2 flats the
+    writer consumes, in the same row-major element order the device
+    flatten produced). Returns (packet, lane_overflow)."""
     import numpy as np
     buf = np.asarray(buf)
     fields = {}
     off = 0
-    for name, shape, dt in _packet_layout(E, B, cap, lane_cap):
+    for name, shape, dt in _slab_layout(E, B, P, lane_cap):
+        n = 1
+        for s in shape:
+            n *= s
+        val = buf[off:off + n].reshape(shape)
+        if dt is not None:
+            val = val.astype(dt if dt is bool else np.int32)
+        fields[name] = val if shape else val[()]
+        off += n
+    n_pres = int(fields.pop("n_pres"))
+    rows = np.flatnonzero(np.asarray(pres).astype(bool).reshape(-1))
+    overflow = n_pres > lane_cap
+    nr = min(rows.size, lane_cap)
+
+    def dense_lane(f):
+        default = fields.pop(f"default_{f}")
+        vals = np.asarray(fields.pop(f))
+        dense = np.full(E * B, default, vals.dtype)
+        if not overflow:
+            dense[rows] = vals[:nr]
+        return dense
+
+    wfnpulse = dense_lane("wfnpulse")
+    lane_fields = {f: dense_lane(f).reshape(E, B)
+                   for f in _LANE_FIELDS if f != "wfnpulse"}
+
+    def dense_slab(name, dtype):
+        slab = fields.pop(name)
+        dense = np.zeros((E * B, P), dtype)
+        if not overflow:
+            dense[rows] = slab[:nr].astype(dtype)
+        return dense
+
+    wt = dense_slab("wftime_slab", np.float32)
+    wa = dense_slab("wfampl_slab", np.float32)
+    h1 = dense_slab("h1_slab", np.float32)
+    h2 = dense_slab("h2_slab", np.float32)
+    hm = dense_slab("hmask_slab", bool)
+    prefix = np.arange(P)[None, :] < wfnpulse[:, None]
+    pkt = WriterPacket(
+        wfnpulse=wfnpulse.reshape(E, B),
+        wf_counts_e=fields["wf_counts_e"],
+        wftime_flat=wt[prefix], wfampl_flat=wa[prefix],
+        n_wf=int(prefix.sum()),
+        h_counts_e=fields["h_counts_e"],
+        h1time_flat=h1[hm], h2time_flat=h2[hm], n_h=int(hm.sum()),
+        chi2=lane_fields["chi2"], ampl=lane_fields["ampl"],
+        amplwf=lane_fields["amplwf"], timewf=lane_fields["timewf"],
+        pedwf=lane_fields["pedwf"],
+        enertot=fields["enertot"], integtot=fields["integtot"],
+        search_overflow=lane_fields["search_overflow"],
+        n_fit_success=fields["n_fit_success"],
+        n_fit_failure=fields["n_fit_failure"],
+        n_fit_dropped=fields["n_fit_dropped"],
+        n_high_pulse=fields["n_high_pulse"],
+        n_search_dropped=fields["n_search_dropped"])
+    return pkt, overflow
+
+
+def unflatten_packet(buf, E: int, B: int, cap: int,
+                     pres=None, lane_cap: int = 0, P: int = 0):
+    """Host-side inverse of the packet serializations (numpy in/out).
+
+    ``lane_cap`` == 0: inverse of ``flatten_packet`` (dense mode).
+    ``lane_cap`` > 0: inverse of ``flatten_packet_slab`` — the caller
+    passes the decoded ``pres`` [E, B] host mask and ``P``
+    (cfg.maxwfpulses); the ragged flats are rebuilt host-side.
+
+    Returns ``(packet, lane_overflow)``: ``lane_overflow`` is True when
+    the batch had more present lanes than ``lane_cap`` (the packet is
+    then unusable — the executor falls back to the dense fetch of the
+    full PipelineOutput)."""
+    if lane_cap > 0:
+        return unflatten_packet_slab(buf, E, B, P, lane_cap, pres)
+    import numpy as np
+    buf = np.asarray(buf)
+    fields = {}
+    off = 0
+    for name, shape, dt in _packet_layout(E, B, cap):
         n = 1
         for s in shape:
             n *= s
@@ -632,28 +750,18 @@ def unflatten_packet(buf, E: int, B: int, cap: int,
             v = v.astype(dt if dt is bool else np.int32)
         fields[name] = v if shape else v[()]
         off += n
-    overflow = False
-    if lane_cap > 0:
-        n_pres = int(fields.pop("n_pres"))
-        rows = np.flatnonzero(np.asarray(pres).astype(bool).reshape(-1))
-        overflow = n_pres > lane_cap
-        for f in _LANE_FIELDS:
-            default = fields.pop(f"default_{f}")
-            vals = fields[f]
-            dense = np.full(E * B, default, vals.dtype)
-            if not overflow:
-                dense[rows] = vals[: rows.size]
-            fields[f] = dense.reshape(E, B)
-    return WriterPacket(**fields), overflow
+    return WriterPacket(**fields), False
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cap", "lane_cap"))
 def _packed_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                 batch: EventBatch, cap: int, lane_cap: int = 0):
     out = process_batch(cfg, calib, batch)
-    pkt = pack_for_writer(out, cap)
-    return (flatten_packet_sparse(pkt, batch.pres, lane_cap)
-            if lane_cap > 0 else flatten_packet(pkt))
+    if lane_cap > 0:
+        # slab mode: no device-side ragged flatten at all (the two
+        # full-width sorts were ~30 ms/batch — PERF.md round 4)
+        return flatten_packet_slab(out, batch.pres, lane_cap)
+    return flatten_packet(pack_for_writer(out, cap))
 
 
 def make_pipeline_packed(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],

@@ -311,8 +311,9 @@ def lm_solve(cfg: NPSConfig, model: WaveformModel, inp: FitInputs,
 
 def _pallas_lm_active(cfg: NPSConfig, model: WaveformModel, P: int) -> bool:
     """Whether the whole-loop Pallas LM kernel serves this solve: spline
-    model, narrow parameter vector, no conflicting fused-path flags."""
-    return (cfg.use_pallas_lm and P <= NARROW_P
+    model, parameter vector within the kernel's pulse limit, no
+    conflicting fused-path flags."""
+    return (cfg.use_pallas_lm and P <= cfg.pallas_lm_max_pulses
             and getattr(model, "name", "") == "spline_ref_pallas"
             and not cfg.use_fused_system and not cfg.use_fused_neq)
 

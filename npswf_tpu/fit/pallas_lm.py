@@ -63,8 +63,13 @@ _CHOL_EPS = 1e-30
 
 # meta/out row layout ([128, N] f32): narrow per-lane values ride row-packed
 MC_X0, MC_ACT, MC_BUDGET, MC_LAM, MC_CONV, MC_NIT, MC_EDM, MC_U0 = range(8)
-META_W = 128
-OC_U = 0          # output rows [OC_U, OC_U + M): u; then chi2/conv/nit/edm/lam
+OUT_W = 128       # output rows: u [0, M), then chi2/conv/n_iter/edm/lam
+OC_U = 0
+
+
+def _meta_w(M: int) -> int:
+    """Meta row count (7 + 5*M), padded to a sublane-friendly multiple."""
+    return -(-(MC_U0 + 5 * M) // 8) * 8
 
 
 def _meta_rows(M: int):
@@ -294,7 +299,7 @@ def _lm_kernel(cfg: NPSConfig, P: int, n_steps: int,
             [u0, jnp.zeros((2, Lanes), dtype),           # chi2, conv
              niter0, meta[MC_EDM:MC_EDM + 1, :],
              meta[MC_LAM:MC_LAM + 1, :],
-             jnp.zeros((META_W - M - 5, Lanes), dtype)], axis=0)
+             jnp.zeros((OUT_W - M - 5, Lanes), dtype)], axis=0)
 
     @pl.when(jnp.any(act))
     def _():
@@ -317,7 +322,7 @@ def _lm_kernel(cfg: NPSConfig, P: int, n_steps: int,
              st[R_NIT:R_NIT + 1, :],                             # n_iter
              st[R_EDM:R_EDM + 1, :],                             # edm
              st[R_LAM:R_LAM + 1, :],                             # lam
-             jnp.zeros((META_W - M - 5, Lanes), dtype)], axis=0)
+             jnp.zeros((OUT_W - M - 5, Lanes), dtype)], axis=0)
 
 
 def _lm_call(cfg: NPSConfig, P: int, n_steps: int, tile: int, interpret: bool,
@@ -335,15 +340,15 @@ def _lm_call(cfg: NPSConfig, P: int, n_steps: int, tile: int, interpret: bool,
         (rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_lm_kernel, cfg, P, n_steps),
-        out_shape=jax.ShapeDtypeStruct((META_W, Np), dtype),
+        out_shape=jax.ShapeDtypeStruct((OUT_W, Np), dtype),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((4, SEG, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             spec2(KP), spec2(KP),                # y, w
-            spec2(META_W),                       # meta
+            spec2(_meta_w((M - 1) // 2 * 2 + 1)),  # meta
         ],
-        out_specs=spec2(META_W),
+        out_specs=spec2(OUT_W),
         scratch_shapes=[
             pltpu.VMEM((M, tile), dtype), pltpu.VMEM((MT, tile), dtype),
             pltpu.VMEM((M, tile), dtype), pltpu.VMEM((8, tile), dtype),
@@ -388,7 +393,7 @@ def lm_solve_pallas(cfg: NPSConfig, coeffs_pad: jnp.ndarray,
         widths = ((0, 0),) * (arr.ndim - 1) + ((0, Np - N),)
         return jnp.pad(arr, widths, constant_values=value)
 
-    pad_rows = META_W - (MC_U0 + 5 * M)
+    pad_rows = _meta_w(M) - (MC_U0 + 5 * M)
     meta = padN(jnp.concatenate(
         [x0[None, :], active.astype(dtype)[None, :],
          iter_budget.astype(dtype)[None, :], lam0_arr[None, :],

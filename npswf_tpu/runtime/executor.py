@@ -390,10 +390,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 buf = np.asarray(flat)
             pkt_host, lane_ovf = unflatten_packet(
                 buf, batch_size, cfg.nblocks, pack_cap,
-                pres=d_pad.pres[:, :B], lane_cap=lane_cap)
+                pres=d_pad.pres[:, :B], lane_cap=lane_cap,
+                P=cfg.maxwfpulses)
             out = None
-            if lane_ovf or int(pkt_host.n_wf) > pack_cap \
-                    or int(pkt_host.n_h) > pack_cap:
+            # slab packets (lane_cap > 0) have no element capacity — only
+            # lane overflow forces the dense fallback
+            if lane_ovf or (lane_cap == 0
+                            and (int(pkt_host.n_wf) > pack_cap
+                                 or int(pkt_host.n_h) > pack_cap)):
                 # occupancy burst beyond the batch-0 sizing: re-run this
                 # batch through the dense pipeline (one extra batch of
                 # compute — the packed path returns only the flat buffer,

