@@ -197,6 +197,17 @@ class NPSConfig:
                                      # (fit/pallas_lm.py). Narrow spline
                                      # bucket only; falls back to the XLA
                                      # while_loop elsewhere
+    use_pallas_search: bool = True   # whole-search Pallas kernel: extension,
+                                     # Markov smoothing, Gold deconvolution,
+                                     # acceptance/centroid and the sort
+                                     # operands in ONE kernel per lane tile
+                                     # (ops/pallas_search.py); top-P ordering
+                                     # stays on the XLA multi-operand sort.
+                                     # Gated by use_pallas/pallas_enabled
+                                     # like the other kernels
+    pallas_search_tile: int = 256    # lane tile of the search kernel
+                                     # (measured: 128 -> 3.39, 256 -> 3.22,
+                                     # 512 -> 3.77 ms/batch scan slope)
     pallas_lm_tile: int = 256        # lane tile of the whole-loop LM kernel
     pallas_lm_max_pulses: int = 4    # widest bucket the whole-loop kernel
                                      # serves; wider buckets (the unrolled

@@ -68,6 +68,11 @@ class PipelineOutput(NamedTuple):
                                  # can replay the exact fitted curve
     gate: jnp.ndarray            # [E, B] bool — cluster gate decision
     fit_converged: jnp.ndarray   # [E, B] bool
+    fit_n_iter: jnp.ndarray      # [E, B] i32 — LM iterations the solver spent
+                                 # on the lane (all stages; 0 = not fitted).
+                                 # Determinism fingerprint: routing/layout
+                                 # changes that leave results identical must
+                                 # leave this identical too (tests/test_routing)
     h1time: jnp.ndarray          # [E, B, P] h1 entries (valid via h_mask)
     h2time: jnp.ndarray          # [E, B, P]
     h_mask: jnp.ndarray          # [E, B, P] bool
@@ -212,6 +217,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
     params = jnp.zeros((N, M), dtype)
     chi2_ndf = jnp.zeros((N,), dtype)
     converged = jnp.zeros((N,), bool)
+    n_iter_lanes = jnp.zeros((N,), jnp.int32)
     fitted = jnp.zeros((N,), bool)
     n_dropped = jnp.asarray(0, jnp.int32)
     buckets = [(small_active, cap_all, Ps)]
@@ -327,6 +333,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             params = jnp.where(infit[:, None], pf, params)
             chi2_ndf = jnp.where(infit, fres.chi2_ndf, chi2_ndf)
             converged = converged | (fres.converged & infit)
+            n_iter_lanes = jnp.where(infit, fres.n_iter, n_iter_lanes)
         else:
             # un-permute by GATHER, not scatter: lane i's slot in the
             # stable argsort(~mask) compaction has the closed form
@@ -346,6 +353,8 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
             chi2_ndf = jnp.where(infit, jnp.take(fres.chi2_ndf, posc),
                                  chi2_ndf)
             converged = converged | (jnp.take(fres.converged, posc) & infit)
+            n_iter_lanes = jnp.where(infit, jnp.take(fres.n_iter, posc),
+                                     n_iter_lanes)
         fitted = fitted | infit
         n_dropped = n_dropped + jnp.maximum(
             jnp.sum(mask) - cap_b, 0).astype(jnp.int32)
@@ -419,6 +428,7 @@ def process_batch(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
         pedwf=pedwf.reshape(E, B),
         gate=gate.reshape(E, B),
         fit_converged=(fitted & converged).reshape(E, B),
+        fit_n_iter=jnp.where(fitted, n_iter_lanes, 0).reshape(E, B),
         h1time=h1.reshape(E, B, P),
         h2time=h2.reshape(E, B, P),
         h_mask=h_mask.reshape(E, B, P),

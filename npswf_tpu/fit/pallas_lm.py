@@ -346,7 +346,8 @@ def _lm_call(cfg: NPSConfig, P: int, n_steps: int, tile: int, interpret: bool,
             pl.BlockSpec((4, SEG, tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             spec2(KP), spec2(KP),                # y, w
-            spec2(_meta_w((M - 1) // 2 * 2 + 1)),  # meta
+            spec2(_meta_w(M)),                   # meta (same _meta_w(M) as
+                                                 # the array in lm_solve_pallas)
         ],
         out_specs=spec2(OUT_W),
         scratch_shapes=[

@@ -88,6 +88,31 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
     P = cfg.maxwfpulses
     shift = int(7.0 * sigma + 0.5)
     size_ext = ssize + 2 * shift
+
+    from npswf_tpu.ops.pallas_kernels import pallas_enabled
+    if cfg.use_pallas_search and pallas_enabled(cfg):
+        # whole-search kernel: everything up to the sort operands runs in
+        # ONE pallas kernel per lane tile (ops/pallas_search.py); only the
+        # top-P ordering sort stays here. Operands come back bins-major
+        # [T, N]; the sort runs along axis 0 and the first P rows transpose
+        # to the [N, P] outputs.
+        from npswf_tpu.ops.pallas_search import search_operands_pallas
+        aux_in = (src if aux is None else aux).astype(dtype)
+        kt = search_operands_pallas(cfg, src, aux_in, aux_offset,
+                                    interpret=cfg.interpret_pallas)
+        ops_t = kt[:3] + ((kt[3],) if aux is not None else ())
+        srt_t = jax.lax.sort(ops_t, dimension=0, num_keys=1)
+        srt = [s[:P].T for s in srt_t]
+        sort_neg, a_srt, y_srt = srt[0], srt[1], srt[2]
+        valid = sort_neg < jnp.asarray(jnp.inf, dtype)             # [N, P]
+        a_sel = a_srt
+        k_sel = jnp.floor(a_sel + 0.5)
+        pos_x = jnp.where(valid, k_sel + 0.5, 0.0)
+        pos_y = jnp.where(valid, y_srt, 0.0)
+        if aux is not None:
+            return pos_x, pos_y, valid, jnp.where(valid, srt[3], 0.0)
+        return pos_x, pos_y, valid
+
     resp_np, area, lh_gold, posit, bvec_np = _static_response(sigma, size_ext)
     L = lh_gold - 1
     resp = jnp.asarray(resp_np, dtype)

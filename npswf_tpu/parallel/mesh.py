@@ -89,6 +89,7 @@ def _output_specs(cfg: NPSConfig) -> PipelineOutput:
     return PipelineOutput(
         wfnpulse=eb, wftime=ebp, wfampl=ebp, pulse_valid=ebp, chi2=eb,
         timewf=eb, amplwf=eb, pedwf=eb, gate=eb, fit_converged=eb,
+        fit_n_iter=eb,
         h1time=ebp, h2time=ebp, h_mask=ebp,
         ampl=eb, ener=eb, integ=eb, bkg=eb, noise=eb,
         enertot=e, integtot=e,

@@ -5,6 +5,7 @@ the real multi-chip path separately); fp64 is enabled so the parity tests can
 compare against the golden oracle at full precision.
 """
 import os
+import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -25,6 +26,8 @@ jax.config.update("jax_enable_x64", True)
 # compilation cache). Raise the limit best-effort (root in this image;
 # harmless no-op elsewhere). RUNBOOK.md documents the symptom.
 def _raise_map_count(target=1048576):
+    if os.environ.get("NPSWF_NO_SYSCTL"):
+        return  # opt-out: never touch host kernel settings
     path = "/proc/sys/vm/max_map_count"
     try:
         with open(path) as f:
@@ -32,6 +35,11 @@ def _raise_map_count(target=1048576):
         if cur < target:
             with open(path, "w") as f:
                 f.write(str(target))
+            # mutating host state deserves a visible trace (ADVICE r4):
+            # set NPSWF_NO_SYSCTL=1 to forbid the write entirely
+            sys.stderr.write(
+                f"[npswf conftest] raised vm.max_map_count {cur} -> {target} "
+                "(XLA:CPU mmap exhaustion guard; NPSWF_NO_SYSCTL=1 opts out)\n")
     except (OSError, ValueError):
         pass  # not root / not Linux: accept the platform default
 

@@ -43,6 +43,7 @@ def test_bucket_boundary_is_result_neutral(small_cfg, small_cal):
     base = outs[2]
     assert int(np.asarray(base.n_fit_dropped)) == 0
     assert np.asarray(base.fit_converged).sum() >= 10
+    base_iter = np.asarray(base.fit_n_iter)
     for ps, out in outs.items():
         assert int(np.asarray(out.n_fit_dropped)) == 0, f"ps={ps} dropped lanes"
         np.testing.assert_array_equal(np.asarray(out.wfnpulse),
@@ -51,24 +52,30 @@ def test_bucket_boundary_is_result_neutral(small_cfg, small_cal):
         np.testing.assert_array_equal(np.asarray(out.fit_converged),
                                       np.asarray(base.fit_converged),
                                       err_msg=f"ps={ps}")
-        # chi2 tolerance is looser than the last-ulp scale: near the ftol
-        # convergence threshold a width-dependent reduction-tree ulp can
-        # flip one accept decision and end the trajectory an iteration
-        # early/late — same certified minimum, chi2 agreeing to ~1e-7
-        # relative instead of 1e-16 (observed once the mid bucket added a
-        # third system width). Decisions above stay exactly equal.
-        np.testing.assert_allclose(np.asarray(out.chi2),
-                                   np.asarray(base.chi2),
-                                   rtol=1e-5, atol=1e-5, err_msg=f"ps={ps}")
-        # wftime/wfampl: same cascade scale as chi2 (a ~15 ns time that
-        # converged one iteration apart differs at 1e-7 relative = ~1e-6
-        # ns — five orders below the 0.05-bin = 0.2 ns parity bar)
-        np.testing.assert_allclose(np.asarray(out.wftime),
-                                   np.asarray(base.wftime),
-                                   rtol=1e-5, atol=1e-5, err_msg=f"ps={ps}")
-        np.testing.assert_allclose(np.asarray(out.wfampl),
-                                   np.asarray(base.wfampl),
-                                   rtol=1e-5, atol=1e-5, err_msg=f"ps={ps}")
+        # Two-tier tolerance (ADVICE r4): near the ftol convergence
+        # threshold a width-dependent reduction-tree ulp can flip one
+        # accept decision and end the trajectory an iteration early/late —
+        # same certified minimum, values agreeing to ~1e-7 relative
+        # instead of 1e-16. Those "flipped" lanes are identified exactly
+        # (their solver iteration counts differ) and get the loose 1e-5
+        # cascade bound; every same-trajectory lane must still agree at
+        # the near-ulp 1e-7 level, so a genuine sub-1e-5 numeric
+        # regression on the routing path cannot hide behind the cascade.
+        flip = np.asarray(out.fit_n_iter) != base_iter
+        nflip = int(flip.sum())
+        assert nflip <= max(4, int(0.02 * np.asarray(base.fit_converged).sum())), \
+            f"ps={ps}: {nflip} trajectory flips — routing is not result-neutral"
+        for name, tight_atol in (("chi2", 1e-6), ("wftime", 1e-6),
+                                 ("wfampl", 1e-6)):
+            a, b = np.asarray(getattr(out, name)), np.asarray(getattr(base, name))
+            fl = flip[..., None] if a.ndim == 3 else flip
+            np.testing.assert_allclose(
+                np.where(fl, 0, a), np.where(fl, 0, b),
+                rtol=1e-7, atol=tight_atol,
+                err_msg=f"ps={ps} {name} (same-trajectory lanes)")
+            np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=1e-5,
+                err_msg=f"ps={ps} {name} (flipped-lane cascade bound)")
         np.testing.assert_allclose(np.asarray(out.pedwf),
                                    np.asarray(base.pedwf),
                                    rtol=0, atol=1e-6, err_msg=f"ps={ps}")

@@ -1,0 +1,51 @@
+"""Compiled-mode TPU smoke test for the whole-loop Pallas LM kernel.
+
+ADVICE r4: the kernel's novel constructs (pltpu.roll on the sublane axis,
+pl.when-predicated fori_loop over VMEM scratch) were only gated in
+interpret mode (CPU fp64); TPU legalization and fp32 behavior relied on
+manual bench runs. This test runs one small compiled lm_solve_pallas batch
+against the XLA path at fp32 statistical tolerance — in a subprocess,
+because this pytest process pins JAX to virtual CPU devices.
+
+Skips (cheaply, via a 60 s probe) when no TPU backend is reachable.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def _probe_tpu(budget_s: float = 60.0) -> bool:
+    """jax.devices() in a throwaway child: a dead tunnel hangs forever in
+    process, so presence must be probed by a killable subprocess."""
+    code = "import jax; d = jax.devices()[0]; print(d.platform, d.device_kind)"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    try:
+        res = subprocess.run([sys.executable, "-c", code], cwd=_REPO, env=env,
+                             timeout=budget_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False
+    out = (res.stdout + res.stderr).lower()
+    return res.returncode == 0 and "tpu" in out
+
+
+def test_pallas_lm_compiled_tpu_smoke():
+    if os.environ.get("NPSWF_SKIP_TPU_SMOKE"):
+        pytest.skip("NPSWF_SKIP_TPU_SMOKE set")
+    if not _probe_tpu():
+        pytest.skip("no TPU backend reachable (probe timed out or failed)")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    res = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "tests", "tpu_smoke_child.py")],
+        cwd=_REPO, env=env, timeout=420, capture_output=True, text=True)
+    sys.stderr.write(res.stderr)
+    if res.returncode == 3:
+        pytest.skip("child found no TPU backend")
+    assert res.returncode == 0, (
+        f"compiled-mode Pallas LM smoke failed (rc={res.returncode}):\n"
+        f"{res.stderr[-2000:]}")
