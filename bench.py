@@ -55,18 +55,30 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
 
+    from npswf_tpu.engine.pipeline import (make_pipeline_chain,
+                                           stack_event_batches)
+
     cfg = NPSConfig(compute_dtype="float32")
     cal = synthetic_calibration(cfg, seed=1)
     E = 64
-    truth = make_events(cfg, cal, E, occupancy=1.0, max_pulses=2,
-                        pileup_prob=0.25, seed=7)
+    K = 8   # batches per dispatch chain (executor chain_batches regime)
     rng = np.random.default_rng(11)
-    batch = EventBatch(
-        signal=jnp.asarray(truth.signal.astype(np.float32)),
-        pres=jnp.asarray(truth.pres.astype(bool)),
-        corr_time_HMS=jnp.asarray(rng.uniform(-2, 2, E).astype(np.float32)),
-        evt=jnp.arange(E, dtype=jnp.int32),
-        runnum=jnp.full(E, 3000, dtype=jnp.int32))
+
+    truths = {}
+
+    def mk_batch(seed):
+        truth = truths.setdefault(seed, make_events(
+            cfg, cal, E, occupancy=1.0, max_pulses=2,
+            pileup_prob=0.25, seed=seed))
+        return EventBatch(
+            signal=jnp.asarray(truth.signal.astype(np.float32)),
+            pres=jnp.asarray(truth.pres.astype(bool)),
+            corr_time_HMS=jnp.asarray(
+                rng.uniform(-2, 2, E).astype(np.float32)),
+            evt=jnp.arange(E, dtype=jnp.int32),
+            runnum=jnp.full(E, 3000, dtype=jnp.int32))
+
+    batch = mk_batch(7)
     calib = {k: jnp.asarray(v) for k, v in cal.device_arrays(cfg).items()}
     pipeline = make_pipeline(cfg, calib)
 
@@ -79,10 +91,8 @@ def main() -> int:
           f"fit success: {int(out.n_fit_success)}, "
           f"failure: {int(out.n_fit_failure)}", file=sys.stderr)
 
-    # warmup then timed iterations. Metric of record: the PIPELINED regime
-    # (two batches in flight, as the streaming executor runs) — every
-    # output is still forced inside the timed window, so async dispatch
-    # cannot fake completion; the sync-per-batch figure is reported too.
+    # single-batch regimes (continuity diagnostics; the tunneled link's
+    # ~25 ms blocking-fetch round trip floors BOTH — PERF.md round 5)
     _ = np.asarray(pipeline(batch).chi2)
     iters = 5
     t0 = time.perf_counter()
@@ -101,31 +111,80 @@ def main() -> int:
             _ = np.asarray(prev.chi2)
         prev = out_i
     _ = np.asarray(prev.chi2)
-    dt = (time.perf_counter() - t0) / iters_p
+    dt_single = (time.perf_counter() - t0) / iters_p
+    print(f"steady-state (pipelined, 2 in flight, 1 batch/dispatch): "
+          f"{dt_single * 1e3:.1f} ms/batch ({E / dt_single:.1f} ev/s)",
+          file=sys.stderr)
+
+    # Metric of record: the CHAINED pipelined regime — K distinct batches
+    # scanned inside one executable per dispatch (exactly how the
+    # streaming executor runs with chain_batches=K), two chains in
+    # flight. Every chain's outputs are forced inside the timed window,
+    # so async dispatch cannot fake completion. This amortizes the remote
+    # link's per-fetch round trip K-fold; the per-batch figure it yields
+    # is the chip's own compute throughput.
+    chain = make_pipeline_chain(cfg, calib)
+    stacks = [stack_event_batches([mk_batch(7 + 2 * j + s)
+                                   for j in range(K)]) for s in (0, 1)]
+    t0 = time.perf_counter()
+    co = chain(stacks[0])
+    jax.block_until_ready(co.chi2)
+    print(f"chain compile+first-run: {time.perf_counter() - t0:.1f}s "
+          f"(K={K})", file=sys.stderr)
+    print(f"chain totals: fit success {int(np.asarray(co.n_fit_success).sum())}, "
+          f"failure {int(np.asarray(co.n_fit_failure).sum())}",
+          file=sys.stderr)
+    _ = np.asarray(chain(stacks[1]).chi2)
+    n_chains = 4
+    t0 = time.perf_counter()
+    prev = None
+    for i in range(n_chains):
+        o = chain(stacks[i % 2])
+        if prev is not None:
+            _ = np.asarray(prev.chi2)
+        prev = o
+    _ = np.asarray(prev.chi2)
+    dt = (time.perf_counter() - t0) / (n_chains * K)
     blocks_per_sec = E * cfg.nblocks / dt
-    print(f"steady-state (pipelined, 2 in flight): {dt * 1e3:.1f} ms/batch "
-          f"({E / dt:.1f} ev/s)", file=sys.stderr)
+    print(f"steady-state (chained, {K} batches/dispatch, 2 chains in "
+          f"flight): {dt * 1e3:.1f} ms/batch ({E / dt:.1f} ev/s)",
+          file=sys.stderr)
 
     # production-shape diagnostic (stderr only): realistic sparse occupancy
     # AND sparse readout presence (real events read out only the hit region)
-    # with the matching search-lane compaction enabled
-    truth_s = make_events(cfg, cal, E, occupancy=0.05, max_pulses=2, seed=8)
-    pres_s = truth_s.npulse > 0
-    cfg_s = cfg.replace(search_capacity=max(1024, E * cfg.nblocks // 8))
-    pipeline_s = make_pipeline(cfg_s, calib)
-    batch_s = EventBatch(
-        signal=jnp.asarray(truth_s.signal.astype(np.float32)),
-        pres=jnp.asarray(pres_s),
-        corr_time_HMS=batch.corr_time_HMS, evt=batch.evt, runnum=batch.runnum)
-    o_s = pipeline_s(batch_s)
-    _ = np.asarray(o_s.chi2)
-    assert int(o_s.n_search_dropped) == 0
+    # in the SAME chained regime AND the same executable as the metric of
+    # record (sparse device compute is ~19-20 ms/batch — cheaper than
+    # dense; round-5 scan-slope itemization. Search-lane compaction saves
+    # a further ~1.3 ms at 5% occupancy but would force a second chain
+    # compile here; the production executor enables it via
+    # cfg.search_capacity — see tools/e2e_bench.py)
+
+    def mk_sparse(seed):
+        truth_s = make_events(cfg, cal, E, occupancy=0.05, max_pulses=2,
+                              seed=seed)
+        return EventBatch(
+            signal=jnp.asarray(truth_s.signal.astype(np.float32)),
+            pres=jnp.asarray(truth_s.npulse > 0),
+            corr_time_HMS=batch.corr_time_HMS, evt=batch.evt,
+            runnum=batch.runnum)
+
+    stacks_s = [stack_event_batches([mk_sparse(8 + 2 * j + s)
+                                     for j in range(K)]) for s in (0, 1)]
+    o_s = chain(stacks_s[0])
+    jax.block_until_ready(o_s.chi2)
+    assert int(np.asarray(o_s.n_search_dropped).sum()) == 0
+    _ = np.asarray(chain(stacks_s[1]).chi2)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _ = np.asarray(pipeline_s(batch_s).chi2)
-    dts = (time.perf_counter() - t0) / iters
-    print(f"sparse (occupancy 0.05, sparse readout, search-compacted): "
-          f"{dts * 1e3:.1f} ms/batch "
+    prev = None
+    for i in range(3):
+        o = chain(stacks_s[i % 2])
+        if prev is not None:
+            _ = np.asarray(prev.chi2)
+        prev = o
+    _ = np.asarray(prev.chi2)
+    dts = (time.perf_counter() - t0) / (3 * K)
+    print(f"sparse (occupancy 0.05, sparse readout, chained, same "
+          f"executable): {dts * 1e3:.1f} ms/batch "
           f"({E / dts:.1f} ev/s, {E * cfg.nblocks / dts:.0f} blocks scanned/s)",
           file=sys.stderr)
 
@@ -134,7 +193,7 @@ def main() -> int:
     # classification); see utils/synthetic.adversarial_variants for why the
     # clean-synthetic rate is not comparable to the reference's 1-2%.
     from npswf_tpu.utils.synthetic import adversarial_variants
-    adv = adversarial_variants(cfg, cal, truth, seed=23)
+    adv = adversarial_variants(cfg, cal, truths[7], seed=23)
 
     def fail_rate(sig):
         b = EventBatch(signal=jnp.asarray(sig.astype(np.float32)),
@@ -187,7 +246,9 @@ def main() -> int:
           file=sys.stderr)
 
     print(json.dumps({
-        "metric": "blocks fitted/sec/chip (full event, 1080 blocks); "
+        "metric": "blocks fitted/sec/chip (full event, 1080 blocks; "
+                  "chained dispatch, 8 batches/jit-call as the executor's "
+                  "chain_batches regime runs); "
                   "vs_baseline divides by the harder of a MEASURED 4-thread "
                   f"CPU reference run and the 1200 estimate ({baseline:.0f} "
                   "blocks/s; measurement: golden-algorithm search + "
@@ -258,10 +319,10 @@ def main_with_watchdog() -> int:
     - every attempt is preceded by a ~60 s ``jax.devices()`` probe in a
       throwaway child, so a DEAD tunnel costs ~90 s per attempt, not the
       full attempt budget;
-    - per-attempt watchdog defaults to 420 s (``NPSWF_BENCH_TIMEOUT_S``),
+    - per-attempt watchdog defaults to 540 s (``NPSWF_BENCH_TIMEOUT_S``),
       retries skip the ~26 s compile via the persistent compilation cache;
-    - an overall deadline (``NPSWF_BENCH_TOTAL_S``, default 900 s) caps the
-      worst-case wall at ~15 min no matter how many attempts stall.
+    - an overall deadline (``NPSWF_BENCH_TOTAL_S``, default 1200 s) caps the
+      worst-case wall at ~20 min no matter how many attempts stall.
 
     The child's stdout is captured and forwarded only when it exits — a
     killed attempt that already printed its JSON line (e.g. hung in
@@ -270,8 +331,8 @@ def main_with_watchdog() -> int:
     """
     import os
     import subprocess
-    budget_s = float(os.environ.get("NPSWF_BENCH_TIMEOUT_S", "420"))
-    total_s = float(os.environ.get("NPSWF_BENCH_TOTAL_S", "900"))
+    budget_s = float(os.environ.get("NPSWF_BENCH_TIMEOUT_S", "540"))
+    total_s = float(os.environ.get("NPSWF_BENCH_TOTAL_S", "1200"))
     attempts = int(os.environ.get("NPSWF_BENCH_ATTEMPTS", "3"))
     probe_s = float(os.environ.get("NPSWF_BENCH_PROBE_S", "60"))
     deadline = time.monotonic() + total_s

@@ -794,6 +794,65 @@ def make_pipeline_packed(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                              lane_cap=lane_cap)
 
 
+# ----------------------------------------------------------------------
+# Chained dispatch (round 5): k batches per jit call
+# ----------------------------------------------------------------------
+# The tunneled device pays a ~25 ms round trip on every BLOCKING fetch,
+# and with the round-5 kernels the whole batch computes in ~26 ms — the
+# link RTT, not the chip, floors per-batch dispatch (PERF.md round-5
+# itemization). Scanning k batches inside ONE executable amortizes the
+# round trip k-fold: the executor uploads k decoded batches, dispatches
+# once, and fetches one stacked result. Results are bit-identical to k
+# separate dispatches (the scan body IS process_batch; lane results never
+# depend on batch neighbors).
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _process_chain_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                       batch_stack: EventBatch) -> PipelineOutput:
+    def body(carry, b):
+        return carry, process_batch(cfg, calib, b)
+
+    _, outs = jax.lax.scan(body, 0, batch_stack)
+    return outs
+
+
+def make_pipeline_chain(cfg: NPSConfig, calib: Dict[str, jnp.ndarray]):
+    """jit pipeline over a stacked EventBatch (leading k axis on every
+    field); returns a PipelineOutput with a leading k axis."""
+    return functools.partial(_process_chain_jit, cfg, calib)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cap", "lane_cap"))
+def _packed_chain_jit(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                      batch_stack: EventBatch, cap: int, lane_cap: int = 0):
+    def body(carry, b):
+        out = process_batch(cfg, calib, b)
+        if lane_cap > 0:
+            return carry, flatten_packet_slab(out, b.pres, lane_cap)
+        return carry, flatten_packet(pack_for_writer(out, cap))
+
+    _, flats = jax.lax.scan(body, 0, batch_stack)
+    return flats                                    # [k, total]
+
+
+def make_pipeline_packed_chain(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
+                               cap: int, lane_cap: int = 0):
+    """Chained variant of make_pipeline_packed: k batches -> one [k, total]
+    packet stack, ONE dispatch + ONE fetch for the whole chain."""
+    return functools.partial(_packed_chain_jit, cfg, calib, cap=cap,
+                             lane_cap=lane_cap)
+
+
+def stack_event_batches(batches) -> EventBatch:
+    """Stack device EventBatches along a new leading axis (scan operand)."""
+    if batches[0].minsignal is None:
+        assert all(b.minsignal is None for b in batches)
+        parts = [jnp.stack([getattr(b, f) for b in batches])
+                 for f in ("signal", "pres", "corr_time_HMS", "evt", "runnum")]
+        return EventBatch(*parts, minsignal=None)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
 def make_pipeline(cfg: NPSConfig, calib: Dict[str, jnp.ndarray],
                   donate: bool = False):
     """jit-compiled pipeline closure over static config + calibration.

@@ -220,7 +220,8 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
                 timers: Optional[StageTimer] = None,
                 progress_every: int = 1000,
                 profile_dir: Optional[str] = None,
-                compress_output: bool = True) -> RunResult:
+                compress_output: bool = True,
+                chain_batches: int = 1) -> RunResult:
     """Process a full raw segment into a WF output file.
 
     ``profile_dir`` wraps the event loop in a JAX profiler trace
@@ -230,6 +231,13 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     ``compress_output`` controls DEFLATE of the FINAL merged file only;
     transient part files are always written uncompressed (single-core
     DEFLATE of parts would throttle the device pipeline — PERF.md).
+
+    ``chain_batches`` > 1 dispatches k batches per jit call (a lax.scan
+    over a stacked EventBatch) and fetches ONE [k, total] packet stack —
+    the round-5 answer to the tunneled link's ~25 ms blocking-fetch round
+    trip, which otherwise floors per-batch dispatch below the chip's
+    compute time. Results are bit-identical to k separate dispatches;
+    resume granularity stays per batch. Ignored on the mesh path.
     """
     timers = timers or StageTimer()
     t_start = time.perf_counter()
@@ -238,7 +246,10 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
 
     from npswf_tpu.engine.pipeline import (flatten_packet,
                                            make_pipeline_packed,
-                                           pack_for_writer, unflatten_packet)
+                                           make_pipeline_packed_chain,
+                                           pack_for_writer,
+                                           stack_event_batches,
+                                           unflatten_packet)
     E, B = batch_size, cfg.nblocks
     packed = None
     if mesh is not None:
@@ -283,9 +294,14 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
             lane_cap = min(_pow2(max(1024, 2 * n_pres0)), E * B)
             pack_cap = min(_pow2(max(4096, 8 * n_pres0)), 2 * E * B)
         first = (d0, d0_pad)
+    packed_chain = None
+    k_chain = max(int(chain_batches), 1) if mesh is None else 1
     if packed is None and mesh is None:
         # single-dispatch fused pipeline+packer (one RPC out, one fetch in)
         packed = make_pipeline_packed(cfg, calib, pack_cap, lane_cap)
+        if k_chain > 1:
+            packed_chain = make_pipeline_packed_chain(cfg, calib, pack_cap,
+                                                      lane_cap)
     if mesh is not None:
         # mesh path: pack+serialize as a second jit over the sharded output
         _flat = jax.jit(lambda o: flatten_packet(pack_for_writer(o, pack_cap)))
@@ -295,33 +311,41 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
     trace_ctx = device_trace(profile_dir)
     trace_ctx.__enter__()
 
-    def produce(rng_, pre_decoded=None):
-        """Decode -> upload -> dispatch (runs on a stage worker thread).
+    def produce(group, pre_decoded=None):
+        """Decode -> upload -> dispatch for a CHAIN of batch ranges (runs
+        on a stage worker thread).
 
-        Upload and dispatch are async under JAX; doing them here lets
-        batch i+1's H2D ride the link while the main thread's blocking
-        fetch of batch i drains the D2H side (the tunnel is full-duplex,
-        PERF.md end-to-end section)."""
-        lo, hi = rng_
-        if pre_decoded is not None:
-            d, d_pad = pre_decoded
-        else:
-            with timers.stage("decode"):
-                d = decode_segment(cfg, cal, seg, lo, hi,
-                                   use_native=use_native_decode)
-                d_pad = _pad_decoded(cfg, d, batch_size)
-        with timers.stage("upload"):
-            dev_batch = _upload_batch(cfg, d_pad, dtype)
-        with timers.stage("pipeline"):
-            if packed is not None:
-                # ONE output buffer: returning the dense PipelineOutput
-                # alongside measured 3.9 s/batch vs 0.14 s flat-only on
-                # the tunneled device (25 extra remote buffers per step)
-                flat = packed(dev_batch)
+        Upload and dispatch are async under JAX; doing them here lets the
+        next chain's H2D ride the link while the main thread's blocking
+        fetch drains the D2H side (the tunnel is full-duplex, PERF.md
+        end-to-end section). A full-length chain dispatches as ONE scanned
+        executable; shorter tail chains (and k=1) take the single-batch
+        path per range."""
+        items = []
+        for j, (lo, hi) in enumerate(group):
+            if j == 0 and pre_decoded is not None:
+                d, d_pad = pre_decoded
             else:
-                out = pipeline(dev_batch)                   # async dispatch
-                flat = _flat(out)
-        return lo, hi, d, d_pad, dev_batch, flat
+                with timers.stage("decode"):
+                    d = decode_segment(cfg, cal, seg, lo, hi,
+                                       use_native=use_native_decode)
+                    d_pad = _pad_decoded(cfg, d, batch_size)
+            with timers.stage("upload"):
+                dev_batch = _upload_batch(cfg, d_pad, dtype)
+            items.append((lo, hi, d, d_pad, dev_batch))
+        with timers.stage("pipeline"):
+            if packed_chain is not None and len(items) == k_chain > 1:
+                stack = stack_event_batches([it[4] for it in items])
+                flat = packed_chain(stack)                  # [k, total]
+            elif packed is not None:
+                # ONE output buffer per batch: returning the dense
+                # PipelineOutput alongside measured 3.9 s/batch vs 0.14 s
+                # flat-only on the tunneled device (25 extra remote
+                # buffers per step)
+                flat = [packed(it[4]) for it in items]
+            else:
+                flat = [_flat(pipeline(it[4])) for it in items]
+        return items, flat
 
     last_done = [None]
 
@@ -352,6 +376,8 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
 
     # three-deep pipeline: 2 stage workers (decode+upload+dispatch), the
     # main thread fetches results in order, 1 writer thread persists parts.
+    groups = [pending[i:i + k_chain]
+              for i in range(0, len(pending), k_chain)]
     stage_pool = ThreadPoolExecutor(max_workers=2)
     write_pool = ThreadPoolExecutor(max_workers=1)
     max_inflight = 3
@@ -361,55 +387,59 @@ def run_segment(cfg: NPSConfig, cal: CalibrationBundle, seg: RawSegment,
 
     def submit_next():
         nonlocal idx_next, first
-        if idx_next < len(pending):
+        if idx_next < len(groups):
             pre = first if idx_next == 0 else None
             first = None
-            futs.append(stage_pool.submit(produce, pending[idx_next], pre))
+            futs.append(stage_pool.submit(produce, groups[idx_next], pre))
             idx_next += 1
 
     try:
         for _ in range(max_inflight):
             submit_next()
         while futs:
-            lo, hi, d, d_pad, dev_batch, flat = futs.popleft().result()
+            items, flat = futs.popleft().result()
             submit_next()
-            n_valid = hi - lo
-            bad = d.bad_slot[:n_valid]
-            if np.any(bad != -1):
-                # the reference's per-event warnings (slot problem ref
-                # :867-872, Ndata guard ref :830-836), per batch
-                for e in np.nonzero(bad != -1)[0]:
-                    kind = {-2: "truncated stream",
-                            -3: "oversize (Ndata guard)"}\
-                        .get(int(bad[e]),
-                             f"slot number problem (slot {bad[e]})")
-                    log.warning("event %s: %s", d.evt[e], kind)
-            # ONE device_get of the serialized packet; batches i+1, i+2 are
-            # already dispatched, so compute hides behind this transfer
+            # ONE device_get per chain; the next chains are already
+            # dispatched, so compute hides behind this transfer
             with timers.stage("fetch"):
-                buf = np.asarray(flat)
-            pkt_host, lane_ovf = unflatten_packet(
-                buf, batch_size, cfg.nblocks, pack_cap,
-                pres=d_pad.pres[:, :B], lane_cap=lane_cap,
-                P=cfg.maxwfpulses)
-            out = None
-            # slab packets (lane_cap > 0) have no element capacity — only
-            # lane overflow forces the dense fallback
-            if lane_ovf or (lane_cap == 0
-                            and (int(pkt_host.n_wf) > pack_cap
-                                 or int(pkt_host.n_h) > pack_cap)):
-                # occupancy burst beyond the batch-0 sizing: re-run this
-                # batch through the dense pipeline (one extra batch of
-                # compute — the packed path returns only the flat buffer,
-                # see make_pipeline_packed)
-                log.warning("writer-packet overflow (%d/%d wf, %d/%d h, "
-                            "lane_ovf=%s); re-running batch dense",
-                            int(pkt_host.n_wf), pack_cap,
-                            int(pkt_host.n_h), pack_cap, lane_ovf)
-                pkt_host = None
-                out = jax.device_get(pipeline(dev_batch))
-            wfuts.append(write_pool.submit(
-                write_part, lo, hi, n_valid, d_pad, pkt_host, out))
+                if isinstance(flat, list):
+                    rows = [np.asarray(f) for f in flat]
+                else:
+                    rows = list(np.asarray(flat))           # [k, total]
+            for (lo, hi, d, d_pad, dev_batch), buf in zip(items, rows):
+                n_valid = hi - lo
+                bad = d.bad_slot[:n_valid]
+                if np.any(bad != -1):
+                    # the reference's per-event warnings (slot problem ref
+                    # :867-872, Ndata guard ref :830-836), per batch
+                    for e in np.nonzero(bad != -1)[0]:
+                        kind = {-2: "truncated stream",
+                                -3: "oversize (Ndata guard)"}\
+                            .get(int(bad[e]),
+                                 f"slot number problem (slot {bad[e]})")
+                        log.warning("event %s: %s", d.evt[e], kind)
+                pkt_host, lane_ovf = unflatten_packet(
+                    buf, batch_size, cfg.nblocks, pack_cap,
+                    pres=d_pad.pres[:, :B], lane_cap=lane_cap,
+                    P=cfg.maxwfpulses)
+                out = None
+                # slab packets (lane_cap > 0) have no element capacity —
+                # only lane overflow forces the dense fallback
+                if lane_ovf or (lane_cap == 0
+                                and (int(pkt_host.n_wf) > pack_cap
+                                     or int(pkt_host.n_h) > pack_cap)):
+                    # occupancy burst beyond the batch-0 sizing: re-run
+                    # this batch through the dense pipeline (one extra
+                    # batch of compute — the packed path returns only the
+                    # flat buffer, see make_pipeline_packed)
+                    log.warning("writer-packet overflow (%d/%d wf, %d/%d "
+                                "h, lane_ovf=%s); re-running batch dense",
+                                int(pkt_host.n_wf), pack_cap,
+                                int(pkt_host.n_h), pack_cap, lane_ovf)
+                    pkt_host = None
+                    out = jax.device_get(pipeline(dev_batch))
+                wfuts.append(write_pool.submit(
+                    write_part, lo, hi, n_valid, d_pad, pkt_host, out))
             while len(wfuts) > 2:
                 wfuts.popleft().result()
         for wf_ in wfuts:

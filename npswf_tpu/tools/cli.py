@@ -89,7 +89,8 @@ def cmd_run(args) -> int:
     res = run_segment(cfg, cal, seg, args.out, batch_size=args.batch_size,
                       mesh=mesh, resume=not args.no_resume,
                       use_native_decode=not args.no_native,
-                      profile_dir=args.profile)
+                      profile_dir=args.profile,
+                      chain_batches=args.chain_batches)
     print(f"processed {res.n_events} events in {res.wall_time:.2f}s "
           f"({res.events_per_sec:.1f} ev/s, {res.blocks_per_sec:.0f} blocks/s)")
     print(f"Total failed fits: {res.n_fit_failure} "
@@ -227,6 +228,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="waveform model family (default spline_ref; "
                         "see npswf_tpu.models)")
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--chain-batches", type=int, default=1,
+                   help="batches per device dispatch (lax.scan chain; "
+                        "amortizes the remote link's per-fetch round trip)")
     p.add_argument("--devices", type=int, default=1)
     p.add_argument("--block-shards", type=int, default=1)
     p.add_argument("--fit-capacity", type=int, default=0)

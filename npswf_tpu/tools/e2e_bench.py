@@ -107,7 +107,7 @@ def measure_device_only(cfg: NPSConfig, cal: CalibrationBundle,
 
 def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
              batch_size: int, mode: str, workdir: str,
-             compress: bool = False) -> dict:
+             compress: bool = False, chain_batches: int = 4) -> dict:
     from npswf_tpu.runtime.executor import run_segment
     from npswf_tpu.utils.timers import StageTimer
 
@@ -132,7 +132,7 @@ def run_mode(cfg: NPSConfig, cal: CalibrationBundle, n_events: int,
     t0 = time.perf_counter()
     res = run_segment(cfg, cal, seg, out_path, batch_size=batch_size,
                       resume=False, timers=timers, progress_every=10 ** 9,
-                      compress_output=compress)
+                      compress_output=compress, chain_batches=chain_batches)
     wall = time.perf_counter() - t0
     e2e_bps = n_events * cfg.nblocks / wall
     frac = e2e_bps / dev_bps

@@ -1,27 +1,27 @@
-"""Itemize the per-batch pipeline budget by stage ablation (VERDICT r1 #3).
+"""Itemize the per-batch DEVICE budget by stage ablation + scan slopes.
 
-PERF.md's steady-state budget attributed ~55 ms of every ~115 ms dense
-64-event batch to "decode-side constants, compaction, output-path
-resolution, diagnostics, and XLA glue" with no breakdown. This tool
-produces the breakdown, reproducibly, the same way the headline number is
-measured.
+Round-5 methodology change: every earlier ablation ran in the pipelined
+2-in-flight regime, which a round-5 noop probe showed is FLOORED at
+~25 ms/iteration by the tunneled link's blocking-fetch round trip — any
+stage cost below the floor was invisible, and the round-4 marginals
+(fit 7.2, search 3.2, "minimal 34.9") were differences of floored
+numbers. The measurement of record is now the **scan slope**: the
+pipeline runs k in {K1, K2} times inside ONE ``lax.scan`` (per-step
+input scaling defeats CSE/memoization; outputs are consumed into the
+carry), and the per-batch device cost is ``(wall(K2) - wall(K1)) /
+(K2 - K1)`` — the round trip cancels in the slope. Slopes reproduce
+same-executable sync timings and exposed the true round-5 budget
+(PERF.md round 5): search 19.5 -> 3.2 (Pallas kernel), fit 16.8
+(stage-1 kernel 7.6 / stage-2 4.0 / stage-3 3.0), glue ~3, diag 0.5.
 
-Methodology — ablation at trace time: the pipeline is compiled several
-times with exactly one stage stubbed out (the stub returns shape/dtype-
-identical constants), and each variant is timed in the PIPELINED regime
-bench.py uses (two batches in flight, outputs forced inside the window).
-The stage's marginal cost is ``full - ablated``. A final ``minimal``
-variant stubs search+fit+diagnostics simultaneously: what remains IS the
-unattributed slice (decode-side constants, compaction argsorts, seed
-handling, output-path resolution, XLA copies) measured directly rather
-than inferred. A chained-slope harness was tried first and rejected: the
-k-times-unrolled pipeline takes minutes of XLA compile per chain length
-and distorts while_loop staging (journal: full-chain slope read 15 ms
-while the real batch is ~115 ms).
+Stage ablation at trace time is unchanged: each variant stubs exactly
+one stage with shape/dtype-identical constants (the search stub embeds
+the REAL precomputed result so the fit workload is bit-identical).
 
 Usage::
 
-    python -m npswf_tpu.tools.glue_profile [--events 64] [--iters 8]
+    python -m npswf_tpu.tools.glue_profile [--events 64] [--k1 2]
+        [--k2 8] [--iters 4] [--cpu]
 
 Prints a markdown table plus one JSON line (consumed for PERF.md).
 """
@@ -51,28 +51,43 @@ def _patched(module, **repls):
             setattr(module, k, v)
 
 
-def measure(fn, batch, iters: int) -> float:
-    """Pipelined steady state (2 in flight), outputs forced in-window."""
+def scan_slope(make_consume, batch, k1: int, k2: int, iters: int) -> float:
+    """Per-batch device seconds via the k-chained lax.scan slope."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(batch)
-    jax.block_until_ready(out)          # compile + warm
-    _ = np.asarray(fn(batch).chi2)
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(iters):
-        o = fn(batch)
-        if prev is not None:
-            _ = np.asarray(prev.chi2)
-        prev = o
-    _ = np.asarray(prev.chi2)
-    return (time.perf_counter() - t0) / iters
+    def chain(k):
+        def body(carry, x):
+            b = batch._replace(signal=batch.signal * x)
+            return carry + make_consume(b), None
+
+        return jax.jit(lambda xs: jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), xs)[0])
+
+    walls = []
+    for k in (k1, k2):
+        f = chain(k)
+        xs = jnp.asarray(1.0 + 1e-4 * np.random.default_rng(0).random(k),
+                         jnp.float32)
+        jax.block_until_ready(f(xs))            # compile + warm
+        best = float("inf")
+        for i in range(iters):
+            xs = jnp.asarray(
+                1.0 + 1e-4 * np.random.default_rng(i + 1).random(k),
+                jnp.float32)
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(xs))
+            best = min(best, time.perf_counter() - t0)
+        walls.append(best)
+    return (walls[1] - walls[0]) / (k2 - k1)
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=64)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--k1", type=int, default=2)
+    ap.add_argument("--k2", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -89,7 +104,7 @@ def main(argv=None) -> int:
     from npswf_tpu.utils.synthetic import make_events
 
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
-    cfg = NPSConfig()
+    cfg = NPSConfig(compute_dtype="float32")
     cal = synthetic_calibration(cfg, seed=1)
     E = args.events
     truth = make_events(cfg, cal, E, occupancy=1.0, max_pulses=2,
@@ -129,13 +144,13 @@ def main(argv=None) -> int:
         return PulseSearchResult(*(jnp.asarray(v) for v in ps_real))
 
     def stub_fit(cfg_, inp, model_name=""):
-        N, Pb = inp.t_seed.shape
+        n, Pb = inp.t_seed.shape
         dt = inp.y.dtype
-        z = jnp.zeros((N,), dt)
+        z = jnp.zeros((n,), dt)
         return FitResult(
-            params=jnp.zeros((N, 1 + 2 * Pb), dt), chi2=z, chi2_ndf=z,
+            params=jnp.zeros((n, 1 + 2 * Pb), dt), chi2=z, chi2_ndf=z,
             converged=inp.active, converged_stage1=inp.active,
-            n_iter=jnp.zeros((N,), jnp.int32), edm=z)
+            n_iter=jnp.zeros((n,), jnp.int32), edm=z)
 
     def stub_diag(cfg_, signal):
         zb = jnp.zeros(signal.shape[:-1], signal.dtype)
@@ -143,52 +158,50 @@ def main(argv=None) -> int:
         return {"ampl": zb, "ener": zb, "integ": zb, "bkg": zb,
                 "noise": zb, "enertot": ze, "integtot": ze}
 
+    def consume_all(out):
+        s = jnp.zeros((), jnp.float32)
+        for v in out:
+            s = s + jnp.sum(v.astype(jnp.float32))
+        return s
+
+    MIN = {"find_pulses": stub_search, "_fit_chunked": stub_fit,
+           "block_diagnostics": stub_diag}
     variants = {
-        "full": {},
-        "no_search": {"find_pulses": stub_search},
-        "no_fit": {"_fit_chunked": stub_fit},
-        "no_diag": {"block_diagnostics": stub_diag},
-        "minimal": {"find_pulses": stub_search, "_fit_chunked": stub_fit,
-                    "block_diagnostics": stub_diag},
+        "full": ({}, cfg),
+        "no_search": ({"find_pulses": stub_search}, cfg),
+        "no_fit": ({"_fit_chunked": stub_fit}, cfg),
+        "no_diag": ({"block_diagnostics": stub_diag}, cfg),
+        "minimal": (MIN, cfg),
+        # fit-internal ladder (real search/diag, fit stage knobs)
+        "fit_no_stage3": ({}, cfg.replace(lm_stage3=False)),
+        "fit_stage1_only": ({}, cfg.replace(lm_stage3=False,
+                                            lm_max_iter_stage2=0,
+                                            lm_stage2_wide=0)),
     }
     times = {}
-    for name, repls in variants.items():
+    for name, (repls, c) in variants.items():
         with _patched(pl, **repls):
-            fn = jax.jit(lambda b: pl.process_batch(cfg, calib, b))
-            times[name] = measure(fn, batch, args.iters) * 1e3
-        print(f"[glue] {name}: {times[name]:.1f} ms/batch", file=sys.stderr)
-
-    # writer pack marginal: packed pipeline vs bare pipeline
-    cap = 2 * E * B
-    fnp = pl.make_pipeline_packed(cfg, calib, cap)
-    out = fnp(batch)
-    jax.block_until_ready(out)
-    _ = np.asarray(fnp(batch)[:1])
-    t0 = time.perf_counter()
-    prev = None
-    for _ in range(args.iters):
-        o = fnp(batch)
-        if prev is not None:
-            _ = np.asarray(prev[:1])          # force, fetch 4 bytes
-        prev = o
-    _ = np.asarray(prev[:1])
-    times["full_packed"] = 1e3 * (time.perf_counter() - t0) / args.iters
-    print(f"[glue] full_packed: {times['full_packed']:.1f} ms/batch",
-          file=sys.stderr)
+            times[name] = scan_slope(
+                lambda b, c=c: consume_all(pl.process_batch(c, calib, b)),
+                batch, args.k1, args.k2, args.iters) * 1e3
+        print(f"[glue] {name}: {times[name]:.2f} ms/batch (scan slope)",
+              file=sys.stderr)
 
     res = {
         "full": times["full"],
         "fit": times["full"] - times["no_fit"],
         "search": times["full"] - times["no_search"],
         "diag": times["full"] - times["no_diag"],
-        "pack": times["full_packed"] - times["full"],
         "glue_direct": times["minimal"],
-        "events": E,
+        "fit_stage3": times["full"] - times["fit_no_stage3"],
+        "fit_stage2": times["fit_no_stage3"] - times["fit_stage1_only"],
+        "events": E, "k1": args.k1, "k2": args.k2,
     }
-    print("| slice | ms/batch |")
+    print("| slice | ms/batch (device, scan slope) |")
     print("|---|---|")
-    for k in ("full", "fit", "search", "diag", "pack", "glue_direct"):
-        print(f"| {k} | {res[k]:.1f} |")
+    for k in ("full", "fit", "search", "diag", "glue_direct",
+              "fit_stage3", "fit_stage2"):
+        print(f"| {k} | {res[k]:.2f} |")
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in res.items()}))
     return 0
