@@ -209,10 +209,19 @@ class NPSConfig:
                                      # (measured: 128 -> 3.39, 256 -> 3.22,
                                      # 512 -> 3.77 ms/batch scan slope)
     pallas_lm_tile: int = 256        # lane tile of the whole-loop LM kernel
-    pallas_lm_max_pulses: int = 4    # widest bucket the whole-loop kernel
-                                     # serves; wider buckets (the unrolled
-                                     # packed Cholesky grows ~M^3/6 vector
-                                     # statements) fall back to the XLA path
+    pallas_lm_max_pulses: int = 12   # widest bucket the whole-loop kernel
+                                     # serves (round-5 A/B on 8,640 seeded
+                                     # 5-8-pulse M=25 systems: kernel 83 ms
+                                     # vs XLA while_loop 640 ms, convergence
+                                     # 8545 vs 8575 — fp32-marginal lanes
+                                     # only; fp64 decisions exact, see
+                                     # tests/test_pallas_lm.py wide test).
+                                     # Note the search cannot emit npulse>4
+                                     # on the reference template (peaks
+                                     # closer than ~25 bins merge), so the
+                                     # wide bucket is a seed-capacity
+                                     # contract; lowering this to 4 restores
+                                     # the XLA wide path
     interpret_pallas: bool = False   # run Pallas kernels in interpret mode (CPU tests)
 
     # ---- mesh layout (replaces ROOT implicit MT, ref TEST_2.C:313) ----

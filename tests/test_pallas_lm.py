@@ -119,3 +119,16 @@ def test_lm_kernel_tile_boundary_independence(cfg, cal):
                                   np.asarray(b.converged))
     np.testing.assert_allclose(np.asarray(a.params), np.asarray(b.params),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_lm_kernel_wide_bucket_matches_while_loop(cfg, cal):
+    """Round 5: the wide bucket (P=12, M=25 systems) rides the kernel by
+    default (pallas_lm_max_pulses=12). fp64 interpret decisions and
+    outputs must match the XLA while_loop exactly, same as the narrow
+    widths — the measured fp32 divergence on-chip is summation-order
+    only (PERF.md round 5)."""
+    inp, *_ = _build_inputs(cfg, cal, n_lanes=24, seed=21, max_pulses=6,
+                            seed_jitter=1.5, noise=0.8)
+    assert int(np.asarray(inp.pulse_mask).sum(1).max()) >= 5
+    ker, xla = _solve_both(cfg, inp, max_iter=14, lam0=cfg.lm_lambda_init)
+    _assert_match(ker, xla)
