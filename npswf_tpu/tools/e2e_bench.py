@@ -170,6 +170,9 @@ def main(argv=None) -> int:
     ap.add_argument("--mode", choices=["dense", "sparse", "both"],
                     default="both")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--chain-batches", type=int, default=4,
+                    help="batches per device dispatch (executor chaining; "
+                    "amortizes the remote link's per-fetch round trip)")
     ap.add_argument("--compress", action="store_true",
                     help="DEFLATE the final merged file (the default is "
                     "ZIP_STORED: single-core DEFLATE of the multi-hundred-MB "
@@ -186,7 +189,8 @@ def main(argv=None) -> int:
         modes = ["dense", "sparse"] if args.mode == "both" else [args.mode]
         for m in modes:
             results.append(run_mode(cfg, cal, args.events, args.batch_size,
-                                    m, workdir, compress=args.compress))
+                                    m, workdir, compress=args.compress,
+                                    chain_batches=args.chain_batches))
     finally:
         if args.workdir is None:
             shutil.rmtree(workdir, ignore_errors=True)

@@ -334,3 +334,30 @@ def test_sparse_packet_roundtrip_and_overflow(cfg, synth_paths, tmp_path):
     _, ovf2 = unflatten_packet(np.asarray(flat_o), E, cfg.nblocks, cap,
                                pres=pres, lane_cap=small, P=P)
     assert ovf2
+
+
+def test_run_segment_chained_matches_unchained(cfg, synth_paths, tmp_path):
+    """chain_batches=2 (k batches scanned per dispatch, one stacked
+    packet fetch) must produce a byte-identical WF file to per-batch
+    dispatch — including the odd tail group (13 events / batch 4 ->
+    chains of 2, 2 ranges + a 1-range tail through the single-batch
+    path) and all guard counters."""
+    import numpy as np
+    from npswf_tpu.core.calibration import CalibrationBundle
+    seg_path, cal_path = synth_paths
+    cal = CalibrationBundle.load(cal_path)
+    seg = read_segment(seg_path)
+    out_1 = str(tmp_path / "wf_chain1.npz")
+    out_2 = str(tmp_path / "wf_chain2.npz")
+    res_1 = run_segment(cfg, cal, seg, out_1, batch_size=4)
+    res_2 = run_segment(cfg, cal, seg, out_2, batch_size=4,
+                        chain_batches=2)
+    assert res_2.n_fit_success == res_1.n_fit_success
+    assert res_2.n_fit_failure == res_1.n_fit_failure
+    a, b = read_wf(out_1), read_wf(out_2)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        if va.dtype == object:
+            continue
+        np.testing.assert_array_equal(va, vb, err_msg=k)
