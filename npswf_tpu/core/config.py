@@ -208,6 +208,11 @@ class NPSConfig:
     pallas_search_tile: int = 256    # lane tile of the search kernel
                                      # (measured: 128 -> 3.39, 256 -> 3.22,
                                      # 512 -> 3.77 ms/batch scan slope)
+    pallas_search_select: bool = False  # ALSO run the top-P selection in
+                                     # the kernel (P masked-argmax rounds,
+                                     # stable-sort tie order) instead of
+                                     # the XLA 4-operand sort; off until
+                                     # an on-chip A/B pins the win
     pallas_lm_tile: int = 256        # lane tile of the whole-loop LM kernel
     pallas_lm_max_pulses: int = 12   # widest bucket the whole-loop kernel
                                      # serves (round-5 A/B on 8,640 seeded

@@ -67,9 +67,16 @@ def _row_frame(ssize: int, shift: int, L: int) -> int:
 
 def _search_kernel(cfg: NPSConfig, ssize: int, aux_offset: int,
                    resp_np, bvec_np, area: float, lh_gold: int, posit: int,
+                   select_p: int,
                    src_ref, aux_ref, negkey_ref, cent_ref, posy_ref, aux_out_ref):
-    """One lane tile. src/aux [TP, L] (src bins on rows 0..ssize); outputs
-    [TP, L] in the source-bin frame."""
+    """One lane tile. src/aux [TP, L] (src bins on rows 0..ssize).
+
+    select_p == 0: outputs are the four [TP, L] sort operands in the
+    source-bin frame (the XLA sort orders them afterwards).
+    select_p == P > 0: the top-P selection itself runs in-kernel
+    (iterative masked argmax with the stable sort's exact tie order —
+    descending source amplitude, ties by smaller bin) and the outputs
+    are [PP, L] slot rows (PP = P padded to a sublane multiple)."""
     dtype = src_ref.dtype
     L_ = lh_gold - 1
     sigma = cfg.spec_sigma
@@ -251,18 +258,56 @@ def _search_kernel(cfg: NPSConfig, ssize: int, aux_offset: int,
     neg_inf = jnp.asarray(-jnp.inf, dtype)
     negkey = jnp.where(accept, -key, -neg_inf)   # +inf on rejected slots
 
-    # shift back to the source-bin frame (row t = ext row t + shift) and
-    # write the first TP rows; rows >= ssize carry the +inf/0 defaults
-    def to_out(vals, default):
-        v = _roll(vals, -(_OFF + shift))
-        rr = jax.lax.broadcasted_iota(jnp.int32, (R, lanes), 0)
-        v = jnp.where(rr < ssize, v, default)
-        return v[:TP]
+    if select_p == 0:
+        # shift back to the source-bin frame (row t = ext row t + shift)
+        # and write the first TP rows; rows >= ssize carry the +inf/0
+        # defaults
+        def to_out(vals, default):
+            v = _roll(vals, -(_OFF + shift))
+            rr = jax.lax.broadcasted_iota(jnp.int32, (R, lanes), 0)
+            v = jnp.where(rr < ssize, v, default)
+            return v[:TP]
 
-    negkey_ref[...] = to_out(negkey, -neg_inf)
-    cent_ref[...] = to_out(cent, 0.0)
-    posy_ref[...] = to_out(pos_y_full, 0.0)
-    aux_out_ref[...] = to_out(aux_sel, 0.0)
+        negkey_ref[...] = to_out(negkey, -neg_inf)
+        cent_ref[...] = to_out(cent, 0.0)
+        posy_ref[...] = to_out(pos_y_full, 0.0)
+        aux_out_ref[...] = to_out(aux_sel, 0.0)
+        return
+
+    # ---- 6. in-kernel top-P selection --------------------------------
+    # Replaces the XLA 4-operand [N, T] sort: P rounds of masked argmax.
+    # Tie order matches the stable sort exactly — among bitwise-equal
+    # keys the smallest extended-frame row (= smallest bin) wins each
+    # round (rmax = min row index over cur == m), and masking removes
+    # only that single row, so equal-key peaks emerge in bin order.
+    # Lanes with fewer than P accepted peaks fill the remaining slots
+    # from an all(-inf) field: the hit collapses to the first frame row,
+    # whose extracted values are masked by valid = negkey < inf
+    # downstream (identical to the sort path's tail slots).
+    cur = jnp.where(accept, key, neg_inf)
+    row_f = rows_f().astype(dtype)
+    pinf = -neg_inf
+    PP = -(-select_p // 8) * 8
+    slots = {"neg": [], "cent": [], "posy": [], "aux": []}
+    for _p in range(select_p):
+        m = jnp.max(cur, axis=0, keepdims=True)               # [1, L]
+        rmax = jnp.min(jnp.where(cur == m, row_f, pinf), axis=0,
+                       keepdims=True)
+        hit = row_f == rmax                                   # <= one row
+        slots["neg"].append(-m)
+        slots["cent"].append(jnp.sum(jnp.where(hit, cent, 0.0), axis=0,
+                                     keepdims=True))
+        slots["posy"].append(jnp.sum(jnp.where(hit, pos_y_full, 0.0),
+                                     axis=0, keepdims=True))
+        slots["aux"].append(jnp.sum(jnp.where(hit, aux_sel, 0.0), axis=0,
+                                    keepdims=True))
+        cur = jnp.where(hit, neg_inf, cur)
+    pad = [jnp.zeros((1, lanes), dtype)] * (PP - select_p)
+    pad_inf = [jnp.full((1, lanes), pinf, dtype)] * (PP - select_p)
+    negkey_ref[...] = jnp.concatenate(slots["neg"] + pad_inf, axis=0)
+    cent_ref[...] = jnp.concatenate(slots["cent"] + pad, axis=0)
+    posy_ref[...] = jnp.concatenate(slots["posy"] + pad, axis=0)
+    aux_out_ref[...] = jnp.concatenate(slots["aux"] + pad, axis=0)
 
 
 def search_operands_pallas(cfg: NPSConfig, src: jnp.ndarray,
@@ -293,7 +338,7 @@ def search_operands_pallas(cfg: NPSConfig, src: jnp.ndarray,
     out_sds = jax.ShapeDtypeStruct((TP, Np), dtype)
     negkey, cent, posy, aux_sel = pl.pallas_call(
         functools.partial(_search_kernel, cfg, ssize, aux_offset,
-                          resp_np, bvec_np, float(area), lh_gold, posit),
+                          resp_np, bvec_np, float(area), lh_gold, posit, 0),
         out_shape=(out_sds, out_sds, out_sds, out_sds),
         grid=(n_tiles,),
         in_specs=[spec, spec],
@@ -302,3 +347,47 @@ def search_operands_pallas(cfg: NPSConfig, src: jnp.ndarray,
     )(src_t, aux_t)
     return (negkey[:ssize, :N], cent[:ssize, :N],
             posy[:ssize, :N], aux_sel[:ssize, :N])
+
+
+def search_topk_pallas(cfg: NPSConfig, src: jnp.ndarray,
+                       aux: jnp.ndarray, aux_offset: int, P: int,
+                       interpret: bool = False):
+    """Whole search INCLUDING the top-P selection in-kernel.
+
+    Returns (negkey, cent, pos_y, aux_sel) each [N, P] in slot order —
+    exactly the first P rows of the XLA path's stable 4-operand sort
+    (descending source amplitude, ties by bin). Enabled via
+    cfg.pallas_search_select; the sort-operand mode above remains the
+    fallback.
+    """
+    N, ssize = src.shape
+    dtype = src.dtype
+    sigma = cfg.spec_sigma
+    shift = int(7.0 * sigma + 0.5)
+    size_ext = ssize + 2 * shift
+    resp_np, area, lh_gold, posit, bvec_np = _static_response(sigma, size_ext)
+
+    tile = min(int(getattr(cfg, "pallas_search_tile", 128)), 1024)
+    Np = -(-N // tile) * tile
+    TP = -(-ssize // 8) * 8
+    PP = -(-P // 8) * 8
+    src_t = jnp.zeros((TP, Np), dtype).at[:ssize, :N].set(src.T)
+    aux_t = jnp.zeros((TP, Np), dtype).at[:ssize, :N].set(aux.T)
+    n_tiles = Np // tile
+
+    in_spec = pl.BlockSpec((TP, tile), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((PP, tile), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((PP, Np), dtype)
+    negkey, cent, posy, aux_sel = pl.pallas_call(
+        functools.partial(_search_kernel, cfg, ssize, aux_offset,
+                          resp_np, bvec_np, float(area), lh_gold, posit, P),
+        out_shape=(out_sds, out_sds, out_sds, out_sds),
+        grid=(n_tiles,),
+        in_specs=[in_spec, in_spec],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(src_t, aux_t)
+    return (negkey[:P, :N].T, cent[:P, :N].T,
+            posy[:P, :N].T, aux_sel[:P, :N].T)

@@ -96,13 +96,21 @@ def tspectrum_search(cfg: NPSConfig, src: jnp.ndarray,
         # top-P ordering sort stays here. Operands come back bins-major
         # [T, N]; the sort runs along axis 0 and the first P rows transpose
         # to the [N, P] outputs.
-        from npswf_tpu.ops.pallas_search import search_operands_pallas
         aux_in = (src if aux is None else aux).astype(dtype)
-        kt = search_operands_pallas(cfg, src, aux_in, aux_offset,
-                                    interpret=cfg.interpret_pallas)
-        ops_t = kt[:3] + ((kt[3],) if aux is not None else ())
-        srt_t = jax.lax.sort(ops_t, dimension=0, num_keys=1)
-        srt = [s[:P].T for s in srt_t]
+        if getattr(cfg, "pallas_search_select", False):
+            # top-P selection in-kernel too: P rounds of masked argmax
+            # with the stable sort's exact tie order; no [N, T] sort and
+            # only [P, N]-sized kernel outputs
+            from npswf_tpu.ops.pallas_search import search_topk_pallas
+            srt = list(search_topk_pallas(cfg, src, aux_in, aux_offset, P,
+                                          interpret=cfg.interpret_pallas))
+        else:
+            from npswf_tpu.ops.pallas_search import search_operands_pallas
+            kt = search_operands_pallas(cfg, src, aux_in, aux_offset,
+                                        interpret=cfg.interpret_pallas)
+            ops_t = kt[:3] + ((kt[3],) if aux is not None else ())
+            srt_t = jax.lax.sort(ops_t, dimension=0, num_keys=1)
+            srt = [s[:P].T for s in srt_t]
         sort_neg, a_srt, y_srt = srt[0], srt[1], srt[2]
         valid = sort_neg < jnp.asarray(jnp.inf, dtype)             # [N, P]
         a_sel = a_srt

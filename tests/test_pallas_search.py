@@ -120,3 +120,18 @@ def test_kernel_reproduces_decimal_fixture(fx_name, cfg):
         v = np.asarray(valid[0])
         assert list(np.asarray(px[0])[v]) == fx["expected_pos_x"], fx["note"]
         assert list(np.asarray(py[0])[v]) == fx["expected_pos_y"], fx["note"]
+
+
+def test_kernel_inkernel_selection_matches_sort(cfg, cal):
+    """pallas_search_select: the in-kernel P-round masked-argmax selection
+    reproduces the stable 4-operand sort's top-P slots exactly (descending
+    amplitude, ties by bin), including lanes with zero and with more than
+    P accepted peaks."""
+    sig, pres, kern, mfint = _flat_batch(cfg, cal, E=2, max_pulses=4,
+                                         pileup_prob=0.8)
+    mins = jnp.min(sig, axis=1)
+    base = cfg.replace(interpret_pallas=True, use_pallas_search=True)
+    r_sort = find_pulses(base, sig, mins, kern, mfint, pres)
+    r_sel = find_pulses(base.replace(pallas_search_select=True),
+                        sig, mins, kern, mfint, pres)
+    _assert_equal(r_sort, r_sel)
