@@ -14,7 +14,7 @@ Subcommands:
 
 plus pass-through wrappers for the analysis/maintenance tools (forward
 their flags after ``--``): convert-root, convert-wf-root, solver-audit,
-e2e-bench, glue-profile, cpu-baseline, derive-fixtures,
+e2e-bench, glue-profile, perf-probe, cpu-baseline, derive-fixtures,
 extract-templates.
 """
 from __future__ import annotations
@@ -184,6 +184,9 @@ _DELEGATED = {
     "measure-link": ("npswf_tpu.tools.measure_link",
                      "host<->device link bandwidth (median of N >=8 MB "
                      "transfers) + derived e2e transfer-floor ceiling"),
+    "perf-probe": ("npswf_tpu.tools.perf_probe",
+                   "dispatch-regime probes: fetch-round-trip floor, "
+                   "batch-size sweep, chain-k sweep"),
 }
 
 
